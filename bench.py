@@ -1,0 +1,107 @@
+"""Benchmark harness (SURVEY.md T7): aggregate edges/s/chip.
+
+Metric (BASELINE.json:2): outer+inner aggregate edges processed per second per
+chip during training steps of the full BI-GNN model (GIN inner, GAT outer) on
+a DrugBank-scale workload. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline``: the reference publishes no throughput numbers
+(SURVEY.md §6 / BASELINE.md), so the baseline is this framework's first
+recorded run (BENCH_BASELINE.json, committed once measured on TPU). Until one
+exists, vs_baseline=1.0.
+
+Run: python bench.py [--preset small|drugbank|large] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="drugbank",
+                        choices=["small", "drugbank", "large"])
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--batch", type=int, default=2048)
+    parser.add_argument("--backend", default=None,
+                        choices=[None, "xla", "pallas"], nargs="?")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bignn_tpu.data import load_dataset, prepare_device_data
+    from bignn_tpu.models import BiGNN, BiGNNConfig
+    from bignn_tpu.train import Trainer, TrainConfig
+    import bignn_tpu.ops as ops
+
+    if args.backend:
+        ops.set_backend(args.backend)
+
+    presets = {
+        "small": dict(name="synthetic-small", num_drugs=500, feat_dim=16),
+        "drugbank": dict(name="drugbank"),
+        "large": dict(name="synthetic-large", num_drugs=20_000, avg_degree=100.0),
+    }
+    spec = dict(presets[args.preset])
+    name = spec.pop("name")
+    ds = load_dataset(name, **spec)
+    data = prepare_device_data(ds, max_buckets=4)
+    model = BiGNN(BiGNNConfig.full_bignn(feat_dim=ds.feat_dim, dim=64, heads=4))
+    trainer = Trainer(
+        model, data, TrainConfig(lr=1e-3, epochs=1, batch_size=args.batch)
+    )
+    params, opt_state = trainer.init()
+
+    # edges touched per training step (forward; backward ~2x more, not counted
+    # — the metric follows BASELINE.json:2 "outer+inner aggregate edges/s")
+    n_inner_layers = len(model.config.inner_layers)
+    n_outer_layers = len(model.config.outer_layers)
+    inner_edges = sum(b.edge_cap for b in data.bucketing.batches)
+    outer_edges = data.outer.edge_cap
+    edges_per_step = inner_edges * n_inner_layers + outer_edges * n_outer_layers
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(
+        rng.integers(0, ds.num_drugs, (args.batch, 2)), jnp.int32
+    )
+    mask = jnp.ones(args.batch, jnp.float32)
+    key = jax.random.key(0)
+
+    # warmup / compile
+    params, opt_state, loss = trainer._train_step(params, opt_state, key, pos, mask)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = trainer._train_step(params, opt_state, sub, pos, mask)
+    loss.block_until_ready()
+    dt = (time.perf_counter() - t0) / args.steps
+
+    n_chips = 1  # single-chip bench; scaling efficiency measured in tests/dist
+    edges_per_s_per_chip = edges_per_step / dt / n_chips
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("preset") == args.preset and base.get("value"):
+            vs = edges_per_s_per_chip / float(base["value"])
+
+    print(json.dumps({
+        "metric": "edges_per_s_per_chip",
+        "value": round(edges_per_s_per_chip, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

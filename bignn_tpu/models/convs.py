@@ -1,0 +1,197 @@
+"""Graph convolution layers (SURVEY.md T3; reference layer zoo §2.1 R5).
+
+Uniform interface: ``apply(params, x, edge_src, edge_dst, edge_weight,
+num_nodes) -> x'`` where edges follow the sorted-by-dst + padded layout of
+sparse/formats.py (edge_weight carries GCN normalization; convs that don't
+want it pass unweighted aggregation instead).
+
+The paper ablates inner conv types (GCN / GIN / GAT-family); BASELINE.json:8
+names "GIN inner, GAT outer" as the full BI-GNN config. All four convs here
+serve both levels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from bignn_tpu.models.modules import MLP, Dense, glorot, parse_activation
+from bignn_tpu.ops import sddmm, segment_softmax, segment_sum, spmm_sorted_coo
+from bignn_tpu.ops.gather import gather_rows
+
+
+@dataclasses.dataclass(frozen=True)
+class GCNConv:
+    """Kipf-Welling GCN: ``x' = act( A_norm (x W) + b )``.
+
+    ``edge_weight`` must hold symmetric-normalized weights incl. self-loops
+    (precomputed on host by sparse.formats.gcn_normalize).
+    """
+
+    in_dim: int
+    out_dim: int
+    activation: str = "relu"
+
+    def init(self, key: jax.Array) -> dict:
+        return {
+            "w": glorot(key, (self.in_dim, self.out_dim)),
+            "b": jnp.zeros((self.out_dim,), jnp.float32),
+        }
+
+    def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes):
+        h = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+        agg = spmm_sorted_coo(h, edge_src, edge_dst, edge_weight, num_nodes)
+        return parse_activation(self.activation)(agg + params["b"])
+
+
+@dataclasses.dataclass(frozen=True)
+class GINConv:
+    """GIN: ``x' = MLP( (1+eps) x + sum_{u in N(v)} x_u )``.
+
+    Aggregation is an *unweighted* sum. The stored edge list includes
+    self-loops (layout contract), so the unweighted sum already contains
+    ``x_v``; we therefore add ``eps * x`` to reach ``(1+eps) x + sum_neigh``.
+    eps is learnable (train_eps=True behavior).
+    """
+
+    in_dim: int
+    out_dim: int
+    hidden_dim: int | None = None
+    activation: str = "relu"
+
+    def init(self, key: jax.Array) -> dict:
+        hidden = self.hidden_dim or self.out_dim
+        mlp = MLP((self.in_dim, hidden, self.out_dim), self.activation)
+        return {"mlp": mlp.init(key), "eps": jnp.zeros((), jnp.float32)}
+
+    def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes):
+        del edge_weight  # GIN ignores GCN normalization
+        agg = spmm_sorted_coo(x, edge_src, edge_dst, None, num_nodes)
+        hidden = self.hidden_dim or self.out_dim
+        mlp = MLP((self.in_dim, hidden, self.out_dim), self.activation)
+        out = mlp.apply(params["mlp"], agg + params["eps"] * x)
+        return parse_activation(self.activation)(out)
+
+
+@dataclasses.dataclass(frozen=True)
+class GATConv:
+    """GAT (additive attention, multi-head concat).
+
+    Per edge (s -> d): ``e = leaky_relu(a_l . Wx_d + a_r . Wx_s)``;
+    ``alpha = segment_softmax(e over incoming edges of d)``;
+    ``x'_d = act( concat_h sum_s alpha * Wx_s + b )``.
+    Self-loop edges in the layout give each node attention over itself,
+    matching PyG GATConv's add_self_loops default (SURVEY.md §2.1 R5).
+    """
+
+    in_dim: int
+    out_dim: int  # total (heads * per-head dim)
+    heads: int = 4
+    activation: str = "relu"
+    negative_slope: float = 0.2
+
+    def __post_init__(self):
+        if self.out_dim % self.heads:
+            raise ValueError(f"out_dim {self.out_dim} not divisible by heads {self.heads}")
+
+    @property
+    def head_dim(self) -> int:
+        return self.out_dim // self.heads
+
+    def init(self, key: jax.Array) -> dict:
+        kw, kl, kr = jax.random.split(key, 3)
+        return {
+            "w": glorot(kw, (self.in_dim, self.out_dim)),
+            "a_l": glorot(kl, (self.heads, self.head_dim)),
+            "a_r": glorot(kr, (self.heads, self.head_dim)),
+            "b": jnp.zeros((self.out_dim,), jnp.float32),
+        }
+
+    def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes):
+        del edge_weight  # attention replaces fixed normalization
+        H, D = self.heads, self.head_dim
+        h = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+        hh = h.reshape(-1, H, D)
+        score_l = jnp.sum(hh * params["a_l"], axis=-1)  # [N, H] (dst part)
+        score_r = jnp.sum(hh * params["a_r"], axis=-1)  # [N, H] (src part)
+        e = gather_rows(score_l, edge_dst) + gather_rows(score_r, edge_src)
+        e = jax.nn.leaky_relu(e, self.negative_slope)  # [E, H]
+        alpha = segment_softmax(e, edge_dst, num_nodes)  # [E, H]
+        msgs = gather_rows(hh, edge_src) * alpha[:, :, None]  # [E, H, D]
+        agg = segment_sum(msgs.reshape(-1, H * D), edge_dst, num_nodes)
+        return parse_activation(self.activation)(agg + params["b"])
+
+
+@dataclasses.dataclass(frozen=True)
+class DotAttnConv:
+    """Dot-product (transformer-style) attention conv — SDDMM consumer.
+
+    ``e = <q_d, k_s> / sqrt(D)`` on existing edges only (SDDMM,
+    BASELINE.json:5), segment-softmax over incoming edges, weighted sum of
+    per-head values.
+    """
+
+    in_dim: int
+    out_dim: int
+    heads: int = 4
+    activation: str = "relu"
+
+    def __post_init__(self):
+        if self.out_dim % self.heads:
+            raise ValueError(f"out_dim {self.out_dim} not divisible by heads {self.heads}")
+
+    @property
+    def head_dim(self) -> int:
+        return self.out_dim // self.heads
+
+    def init(self, key: jax.Array) -> dict:
+        kq, kk, kv = jax.random.split(key, 3)
+        return {
+            "wq": glorot(kq, (self.in_dim, self.out_dim)),
+            "wk": glorot(kk, (self.in_dim, self.out_dim)),
+            "wv": glorot(kv, (self.in_dim, self.out_dim)),
+            "b": jnp.zeros((self.out_dim,), jnp.float32),
+        }
+
+    def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes):
+        del edge_weight
+        H, D = self.heads, self.head_dim
+        q = jnp.dot(x, params["wq"], preferred_element_type=jnp.float32).reshape(-1, H, D)
+        k = jnp.dot(x, params["wk"], preferred_element_type=jnp.float32).reshape(-1, H, D)
+        v = jnp.dot(x, params["wv"], preferred_element_type=jnp.float32).reshape(-1, H, D)
+        e = sddmm(q, k, edge_src, edge_dst) / jnp.sqrt(jnp.float32(D))  # [E, H]
+        alpha = segment_softmax(e, edge_dst, num_nodes)
+        msgs = gather_rows(v, edge_src) * alpha[:, :, None]
+        agg = segment_sum(msgs.reshape(-1, H * D), edge_dst, num_nodes)
+        return parse_activation(self.activation)(agg + params["b"])
+
+
+def parse_conv(spec: str, in_dim: int):
+    """Parse a layer spec string, e.g. ``"gcn:64"``, ``"gin:64"``,
+    ``"gat:64:4"``, ``"dotattn:64:4"``, optional trailing ``:act``.
+
+    Keeps the reference's config-driven layer construction
+    (SURVEY.md §2.1 R2/R4) as data, typed.
+    """
+    parts = spec.split(":")
+    kind = parts[0].lower()
+    args = parts[1:]
+
+    def _act(default="relu"):
+        return args[-1] if args and not args[-1].isdigit() else default
+
+    nums = [int(a) for a in args if a.isdigit()]
+    if kind == "gcn":
+        return GCNConv(in_dim, nums[0], activation=_act())
+    if kind == "gin":
+        hidden = nums[1] if len(nums) > 1 else None
+        return GINConv(in_dim, nums[0], hidden_dim=hidden, activation=_act())
+    if kind == "gat":
+        heads = nums[1] if len(nums) > 1 else 4
+        return GATConv(in_dim, nums[0], heads=heads, activation=_act())
+    if kind == "dotattn":
+        heads = nums[1] if len(nums) > 1 else 4
+        return DotAttnConv(in_dim, nums[0], heads=heads, activation=_act())
+    raise ValueError(f"unknown conv spec {spec!r}")

@@ -1,0 +1,44 @@
+"""Sorted-COO SpMM: y[dst] += w * x[src] (SURVEY.md §2.2 N2).
+
+This is the neighborhood-aggregation workhorse for both levels of the model
+(BASELINE.json:5 names SpMM as a required kernel class):
+  * inner convs aggregate atom states over molecular bonds,
+  * outer convs propagate drug embeddings over the DDI graph.
+
+Layout contract: ``dst`` sorted ascending, padding edges have ``dst ==
+num_segments`` (dropped) and ``w == 0``. The adjacency is represented as
+(src, dst, w) rather than CSR indptr because with sorted dst the two are
+equivalent and the flat form vectorizes better on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bignn_tpu.ops.dispatch import get_backend
+from bignn_tpu.ops.gather import gather_rows
+from bignn_tpu.ops.segment import segment_sum
+
+
+def spmm_sorted_coo(
+    x: jax.Array,  # [N, F] node features
+    src: jax.Array,  # [E] int32
+    dst: jax.Array,  # [E] int32, sorted ascending
+    weight: jax.Array | None,  # [E] float or None (unweighted)
+    num_out: int,
+    *,
+    backend: str | None = None,
+) -> jax.Array:
+    """Compute ``out[i] = sum_{e: dst[e]==i} weight[e] * x[src[e]]``."""
+    b = get_backend(backend)
+    if b in ("pallas", "pallas_interpret"):
+        from bignn_tpu.ops.pallas.spmm import spmm_pallas
+
+        return spmm_pallas(
+            x, src, dst, weight, num_out, interpret=(b == "pallas_interpret")
+        )
+    msgs = gather_rows(x, src)
+    if weight is not None:
+        msgs = msgs * weight[:, None]
+    return segment_sum(msgs, dst, num_out, backend="xla")

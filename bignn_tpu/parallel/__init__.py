@@ -1,0 +1,17 @@
+"""Distribution layer (SURVEY.md T6, §2.3 P1-P2).
+
+The reference is single-device (SURVEY.md §2.3); all parallelism here is new,
+TPU-native scope mandated by BASELINE.json:5,11:
+
+  * mesh.py      — device mesh construction (dp × model axes).
+  * dp.py        — data parallelism: positive-edge minibatch sharded over the
+                   'dp' axis, parameters replicated, gradients psum'd by XLA
+                   (P1 — first distribution milestone).
+  * partition.py — outer-graph edge partitioner (P2 prerequisite).
+  * halo.py      — boundary drug-embedding exchange over ICI (P2 flagship).
+"""
+
+from bignn_tpu.parallel.mesh import make_mesh
+from bignn_tpu.parallel.dp import shard_pairs, dp_train_step_fn
+
+__all__ = ["make_mesh", "shard_pairs", "dp_train_step_fn"]

@@ -1,0 +1,274 @@
+"""Padded, destination-sorted sparse graph containers (SURVEY.md T1).
+
+Design rationale (TPU-first, not a port):
+
+The reference (codeKgu/BiLevel-Graph-Neural-Network; reconstructed in
+SURVEY.md §2.1 R6) batches variable-size molecule graphs as a PyG disjoint
+union ``Batch`` and aggregates with unsorted CUDA ``scatter_add``. On TPU,
+unsorted scatter serializes; everything here is laid out so aggregation is a
+**sorted segment reduction** instead:
+
+  * Edges of the disjoint union are globally sorted by destination node id.
+    Neighbor aggregation is then ``segment_sum(x[src] * w, dst)`` over sorted
+    segments — XLA lowers this well, and the Pallas kernels (ops/pallas/)
+    exploit block-local contiguity of ``dst``.
+  * All shapes are static (jit-stable). Padding slots use segment id
+    ``num_segments`` (one past the end), which segment reductions drop, so the
+    hot path needs no mask multiplies.
+  * GCN normalization (symmetric, with self-loops) is precomputed on the host
+    into per-edge weights — the device never touches degree computation.
+
+Host-side builders use NumPy; the containers are JAX pytrees (flax.struct) so
+they can be device_put / sharded / passed through jit directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+from flax import struct
+
+
+# ---------------------------------------------------------------------------
+# Host-side (NumPy) input record
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class COOGraph:
+    """One inner graph (e.g. a molecule) in host memory, COO edge list.
+
+    ``edges`` holds directed edges; for undirected inputs callers should pass
+    both directions (see :func:`symmetrize`). ``node_feat`` is `[n, F]`
+    (e.g. one-hot atom types — SURVEY.md §2.1 R4).
+    """
+
+    node_feat: np.ndarray  # [n, F] float
+    src: np.ndarray  # [e] int
+    dst: np.ndarray  # [e] int
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.node_feat.shape[0])
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.src.shape[0])
+
+
+def symmetrize(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Return both directions of an undirected edge list, deduplicated."""
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    uniq = np.unique(np.stack([s, d], axis=1), axis=0)
+    return uniq[:, 0], uniq[:, 1]
+
+
+# ---------------------------------------------------------------------------
+# Device-side pytree containers
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class PaddedGraphBatch:
+    """Disjoint union of up to ``num_graphs`` inner graphs, padded to caps.
+
+    Static-shape invariants (enforced by :func:`build_padded_batch`):
+      * ``node_feat``: [node_cap, F]; rows past the real nodes are zero.
+      * ``edge_src``/``edge_dst``: [edge_cap]; sorted ascending by ``edge_dst``;
+        padding entries have ``edge_src = 0`` and ``edge_dst = node_cap``
+        (dropped by segment reductions with num_segments=node_cap).
+      * ``edge_weight``: [edge_cap]; GCN-normalized weight (or 1.0), 0 on pads.
+      * ``graph_ids``: [node_cap]; molecule index per node, ``num_graphs`` on
+        padding rows (dropped by readout segment reductions).
+      * ``node_mask``: [node_cap] float 1/0.
+      * ``graph_n_nodes``: [num_graphs] float — real node count per graph (for
+        mean readout without a device-side count).
+
+    Replaces the reference's PyG ``Batch`` + ``batch`` vector
+    (SURVEY.md §2.1 R6) with a jit-stable layout.
+    """
+
+    node_feat: np.ndarray
+    node_mask: np.ndarray
+    edge_src: np.ndarray
+    edge_dst: np.ndarray
+    edge_weight: np.ndarray
+    graph_ids: np.ndarray
+    graph_n_nodes: np.ndarray
+    num_graphs: int = struct.field(pytree_node=False)
+    node_cap: int = struct.field(pytree_node=False)
+    edge_cap: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class OuterGraph:
+    """The outer interaction graph (drug-drug), destination-sorted + padded.
+
+    Same layout contract as :class:`PaddedGraphBatch` but for a single graph
+    whose "node features" are the drug embeddings produced by the inner level
+    (SURVEY.md §3.2 OUTER LEVEL).
+    """
+
+    edge_src: np.ndarray  # [edge_cap] int32, sorted by edge_dst
+    edge_dst: np.ndarray  # [edge_cap] int32
+    edge_weight: np.ndarray  # [edge_cap] float32
+    num_nodes: int = struct.field(pytree_node=False)
+    edge_cap: int = struct.field(pytree_node=False)
+
+
+# ---------------------------------------------------------------------------
+# Builders
+# ---------------------------------------------------------------------------
+
+
+def pad_to(x: np.ndarray, n: int, fill=0) -> np.ndarray:
+    """Pad axis 0 of ``x`` to length ``n`` with ``fill``."""
+    if x.shape[0] > n:
+        raise ValueError(f"cannot pad length {x.shape[0]} down to {n}")
+    pad_width = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad_width, constant_values=fill)
+
+
+def gcn_normalize(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    add_self_loops: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Symmetric GCN normalization with optional self-loops.
+
+    Returns ``(src, dst, weight)`` with ``weight[e] = 1/sqrt(d_src * d_dst)``
+    where degrees count self-loops. Mirrors the reference's reliance on PyG
+    ``GCNConv`` normalization (SURVEY.md §2.1 R5) but precomputed on host.
+    """
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    if add_self_loops:
+        loop = np.arange(num_nodes, dtype=np.int64)
+        src = np.concatenate([src, loop])
+        dst = np.concatenate([dst, loop])
+    deg = np.bincount(dst, minlength=num_nodes).astype(np.float64)
+    # isolated nodes (deg 0 can only happen without self-loops)
+    inv_sqrt = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1.0)), 0.0)
+    w = inv_sqrt[src] * inv_sqrt[dst]
+    return src, dst, w.astype(np.float32)
+
+
+def _sort_by_dst(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    order = np.argsort(dst, kind="stable")
+    return src[order], dst[order], w[order]
+
+
+def build_padded_batch(
+    graphs: Sequence[COOGraph],
+    node_cap: int,
+    edge_cap: int,
+    *,
+    normalize: bool = True,
+    add_self_loops: bool = True,
+    dtype=np.float32,
+) -> PaddedGraphBatch:
+    """Build the padded disjoint union of ``graphs``.
+
+    ``edge_cap`` must account for self-loops when ``add_self_loops`` is set
+    (i.e. ``sum(e_i) + sum(n_i)``).
+    """
+    num_graphs = len(graphs)
+    if num_graphs == 0:
+        raise ValueError("empty graph list")
+    feat_dim = graphs[0].node_feat.shape[1]
+
+    feats, srcs, dsts, gids, n_nodes_per = [], [], [], [], []
+    offset = 0
+    for gi, g in enumerate(graphs):
+        n = g.num_nodes
+        feats.append(np.asarray(g.node_feat, dtype))
+        srcs.append(np.asarray(g.src, np.int64) + offset)
+        dsts.append(np.asarray(g.dst, np.int64) + offset)
+        gids.append(np.full(n, gi, np.int32))
+        n_nodes_per.append(n)
+        offset += n
+    total_nodes = offset
+    if total_nodes > node_cap:
+        raise ValueError(f"total nodes {total_nodes} > node_cap {node_cap}")
+
+    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    if normalize:
+        src, dst, w = gcn_normalize(src, dst, total_nodes, add_self_loops)
+    else:
+        if add_self_loops:
+            loop = np.arange(total_nodes, dtype=np.int64)
+            src = np.concatenate([src, loop])
+            dst = np.concatenate([dst, loop])
+        w = np.ones(src.shape[0], np.float32)
+    if src.shape[0] > edge_cap:
+        raise ValueError(f"total edges {src.shape[0]} > edge_cap {edge_cap}")
+    src, dst, w = _sort_by_dst(src, dst, w)
+
+    node_feat = pad_to(np.concatenate(feats, axis=0), node_cap)
+    node_mask = pad_to(np.ones(total_nodes, dtype), node_cap)
+    graph_ids = pad_to(np.concatenate(gids), node_cap, fill=num_graphs)
+    edge_src = pad_to(src.astype(np.int32), edge_cap, fill=0)
+    edge_dst = pad_to(dst.astype(np.int32), edge_cap, fill=node_cap)
+    edge_weight = pad_to(w, edge_cap, fill=0.0)
+
+    return PaddedGraphBatch(
+        node_feat=node_feat,
+        node_mask=node_mask,
+        edge_src=edge_src,
+        edge_dst=edge_dst,
+        edge_weight=edge_weight.astype(dtype),
+        graph_ids=graph_ids,
+        graph_n_nodes=np.asarray(n_nodes_per, dtype),
+        num_graphs=num_graphs,
+        node_cap=int(node_cap),
+        edge_cap=int(edge_cap),
+    )
+
+
+def build_outer_graph(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    edge_cap: int | None = None,
+    *,
+    normalize: bool = True,
+    add_self_loops: bool = True,
+    symmetrize_edges: bool = True,
+) -> OuterGraph:
+    """Build the padded outer interaction graph from an undirected edge list.
+
+    The reference treats DDI edges as undirected (SURVEY.md §2.1 R6); we store
+    both directions so message passing covers each endpoint.
+    """
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    if symmetrize_edges:
+        src, dst = symmetrize(src, dst)
+    if normalize:
+        src, dst, w = gcn_normalize(src, dst, num_nodes, add_self_loops)
+    else:
+        if add_self_loops:
+            loop = np.arange(num_nodes, dtype=np.int64)
+            src = np.concatenate([src, loop])
+            dst = np.concatenate([dst, loop])
+        w = np.ones(src.shape[0], np.float32)
+    src, dst, w = _sort_by_dst(src, dst, w)
+    n_edges = src.shape[0]
+    if edge_cap is None:
+        edge_cap = n_edges
+    if n_edges > edge_cap:
+        raise ValueError(f"edges {n_edges} > edge_cap {edge_cap}")
+    return OuterGraph(
+        edge_src=pad_to(src.astype(np.int32), edge_cap, fill=0),
+        edge_dst=pad_to(dst.astype(np.int32), edge_cap, fill=num_nodes),
+        edge_weight=pad_to(w, edge_cap, fill=0.0),
+        num_nodes=int(num_nodes),
+        edge_cap=int(edge_cap),
+    )
