@@ -114,7 +114,9 @@ def bucket_graphs(
         e_total = sum(g.num_edges for g in gs)
         if add_self_loops:
             e_total += sum(g.num_nodes for g in gs)
-        edge_cap = _round_up(max(e_total, 8), 8)
+        # edge caps are 128-aligned so the Pallas segment kernels take their
+        # zero-copy fast path (ops/pallas/segment.py DMA granule)
+        edge_cap = _round_up(max(e_total, 128), 128)
         batches.append(
             build_padded_batch(
                 gs,

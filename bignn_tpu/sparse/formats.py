@@ -164,6 +164,37 @@ def _sort_by_dst(
     return src[order], dst[order], w[order]
 
 
+def _build_sorted(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    normalize: bool,
+    add_self_loops: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sorted-by-dst edges (+ self loops, + GCN weights).
+
+    Uses the native C++ counting-sort builder when available (8x faster than
+    the NumPy path at 10M edges — bignn_tpu/native), NumPy otherwise.
+    """
+    from bignn_tpu import native
+
+    if native.available():
+        s, d, w = native.build_sorted_graph(
+            src, dst, num_nodes, add_self_loops=add_self_loops, normalize=normalize
+        )
+        return s.astype(np.int64), d.astype(np.int64), w
+    if normalize:
+        s, d, w = gcn_normalize(src, dst, num_nodes, add_self_loops)
+    else:
+        s, d = np.asarray(src, np.int64), np.asarray(dst, np.int64)
+        if add_self_loops:
+            loop = np.arange(num_nodes, dtype=np.int64)
+            s = np.concatenate([s, loop])
+            d = np.concatenate([d, loop])
+        w = np.ones(s.shape[0], np.float32)
+    return _sort_by_dst(s, d, w)
+
+
 def build_padded_batch(
     graphs: Sequence[COOGraph],
     node_cap: int,
@@ -199,17 +230,9 @@ def build_padded_batch(
 
     src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
     dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
-    if normalize:
-        src, dst, w = gcn_normalize(src, dst, total_nodes, add_self_loops)
-    else:
-        if add_self_loops:
-            loop = np.arange(total_nodes, dtype=np.int64)
-            src = np.concatenate([src, loop])
-            dst = np.concatenate([dst, loop])
-        w = np.ones(src.shape[0], np.float32)
+    src, dst, w = _build_sorted(src, dst, total_nodes, normalize, add_self_loops)
     if src.shape[0] > edge_cap:
         raise ValueError(f"total edges {src.shape[0]} > edge_cap {edge_cap}")
-    src, dst, w = _sort_by_dst(src, dst, w)
 
     node_feat = pad_to(np.concatenate(feats, axis=0), node_cap)
     node_mask = pad_to(np.ones(total_nodes, dtype), node_cap)
@@ -251,18 +274,11 @@ def build_outer_graph(
     dst = np.asarray(dst, np.int64)
     if symmetrize_edges:
         src, dst = symmetrize(src, dst)
-    if normalize:
-        src, dst, w = gcn_normalize(src, dst, num_nodes, add_self_loops)
-    else:
-        if add_self_loops:
-            loop = np.arange(num_nodes, dtype=np.int64)
-            src = np.concatenate([src, loop])
-            dst = np.concatenate([dst, loop])
-        w = np.ones(src.shape[0], np.float32)
-    src, dst, w = _sort_by_dst(src, dst, w)
+    src, dst, w = _build_sorted(src, dst, num_nodes, normalize, add_self_loops)
     n_edges = src.shape[0]
     if edge_cap is None:
-        edge_cap = n_edges
+        # 128-aligned so Pallas segment kernels take the zero-copy fast path
+        edge_cap = ((n_edges + 127) // 128) * 128
     if n_edges > edge_cap:
         raise ValueError(f"edges {n_edges} > edge_cap {edge_cap}")
     return OuterGraph(

@@ -1,0 +1,106 @@
+"""Pallas kernel parity in interpret mode (SURVEY.md §4 item 1) and the
+pallas backend end-to-end through the model (CPU CI; real-TPU runs happen in
+the bench harness)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bignn_tpu.ops as ops
+from bignn_tpu.ops.pallas.segment import segment_sum_pallas, segment_softmax_pallas
+from bignn_tpu.oracle.numpy_ref import segment_softmax_ref
+
+
+def _sorted_ids(rng, e, n, pad_frac=0.1):
+    seg = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    npad = max(int(e * pad_frac), 1)
+    seg[-npad:] = n  # padding tail -> dropped
+    return np.sort(seg)
+
+
+@pytest.mark.parametrize(
+    "e,n,f",
+    [(1000, 50, 16), (5000, 300, 64), (100, 5, 1), (8, 3, 4),
+     (1024, 130, 128), (3000, 128, 128), (257, 9, 130)],
+)
+def test_segment_sum_pallas_interpret(e, n, f):
+    rng = np.random.default_rng(e + n + f)
+    seg = _sorted_ids(rng, e, n)
+    data = rng.normal(size=(e, f)).astype(np.float32)
+    out = np.asarray(
+        segment_sum_pallas(jnp.asarray(data), jnp.asarray(seg), n, interpret=True)
+    )
+    expect = np.zeros((n, f), np.float32)
+    for i, s in enumerate(seg):
+        if s < n:
+            expect[s] += data[i]
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_segment_sum_pallas_block_boundary_rows():
+    # segments exactly at multiples of block_rows (128) exercise the
+    # ownership boundaries between grid steps
+    e, n = 4096, 300
+    rng = np.random.default_rng(0)
+    seg = np.sort(np.concatenate([
+        np.full(50, 127), np.full(50, 128), np.full(50, 255), np.full(50, 256),
+        rng.integers(0, n, e - 200),
+    ])).astype(np.int32)
+    data = rng.normal(size=(e, 32)).astype(np.float32)
+    out = np.asarray(
+        segment_sum_pallas(jnp.asarray(data), jnp.asarray(seg), n, interpret=True)
+    )
+    expect = np.zeros((n, 32), np.float32)
+    for i, s in enumerate(seg):
+        expect[s] += data[i]
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(), (4,)])
+def test_segment_softmax_pallas_interpret(shape):
+    rng = np.random.default_rng(7)
+    e, n = 600, 40
+    seg = _sorted_ids(rng, e, n)
+    scores = rng.normal(size=(e,) + shape).astype(np.float32)
+    out = np.asarray(
+        segment_softmax_pallas(jnp.asarray(scores), jnp.asarray(seg), n, interpret=True)
+    )
+    expect = segment_softmax_ref(np.asarray(scores, np.float64), seg, n)
+    real = seg < n
+    np.testing.assert_allclose(out[real], expect[real], rtol=1e-4, atol=1e-5)
+
+
+def test_ops_dispatch_pallas_interpret_matches_xla():
+    rng = np.random.default_rng(1)
+    n, e, f = 64, 512, 32
+    dst = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    src = rng.integers(0, n, e).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    args = (jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), n)
+    ref = np.asarray(ops.spmm_sorted_coo(*args, backend="xla"))
+    with ops.backend_scope("pallas_interpret"):
+        out = np.asarray(ops.spmm_sorted_coo(*args))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_full_model_pallas_interpret_matches_xla():
+    from bignn_tpu.data import make_synthetic_ddi, prepare_device_data
+    from bignn_tpu.models import BiGNN, BiGNNConfig
+
+    ds = make_synthetic_ddi(num_drugs=30, feat_dim=8, avg_degree=5.0,
+                            min_atoms=4, max_atoms=8, seed=0)
+    data = prepare_device_data(ds, max_buckets=2)
+    model = BiGNN(BiGNNConfig.full_bignn(feat_dim=8, dim=16, heads=2))
+    params = model.init(jax.random.key(0))
+    buckets = tuple(jax.tree.map(jnp.asarray, b) for b in data.bucketing.batches)
+    gidx = tuple(jnp.asarray(i) for i in data.bucketing.graph_index)
+    outer = jax.tree.map(jnp.asarray, data.outer)
+    pairs = jnp.asarray(
+        np.random.default_rng(0).integers(0, 30, (12, 2)), jnp.int32
+    )
+    ref = np.asarray(model.apply(params, buckets, gidx, outer, pairs))
+    with ops.backend_scope("pallas_interpret"):
+        out = np.asarray(model.apply(params, buckets, gidx, outer, pairs))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
