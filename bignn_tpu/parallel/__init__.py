@@ -13,5 +13,23 @@ TPU-native scope mandated by BASELINE.json:5,11:
 
 from bignn_tpu.parallel.mesh import make_mesh
 from bignn_tpu.parallel.dp import shard_pairs, dp_train_step_fn
+from bignn_tpu.parallel.partition import (
+    OuterPartitionPlan,
+    build_outer_partition,
+    build_sharded_inner,
+)
+from bignn_tpu.parallel.halo import halo_exchange, dist_outer_forward
+from bignn_tpu.parallel.step import make_p2_train_step, device_put_plan
 
-__all__ = ["make_mesh", "shard_pairs", "dp_train_step_fn"]
+__all__ = [
+    "make_mesh",
+    "shard_pairs",
+    "dp_train_step_fn",
+    "OuterPartitionPlan",
+    "build_outer_partition",
+    "build_sharded_inner",
+    "halo_exchange",
+    "dist_outer_forward",
+    "make_p2_train_step",
+    "device_put_plan",
+]

@@ -1,0 +1,125 @@
+"""Halo exchange + distributed outer propagation (SURVEY.md P2 flagship).
+
+The boundary-embedding all-to-all over ICI (BASELINE.json:5,11): each shard
+owns a contiguous drug-node block and all incoming edges of its nodes
+(parallel/partition.py). Per outer layer:
+
+  1. transform owned rows (dense matmul — MXU, local);
+  2. gather the boundary rows each peer needs (static plan indices) and
+     exchange them with ONE ``lax.all_to_all`` over the 'graph' mesh axis —
+     XLA lowers this to ICI collectives; no NCCL-style translation;
+  3. aggregate locally with the sorted-segment SpMM (edge dst ids are
+     shard-local; the global destination sort is preserved by construction).
+
+For GAT, the per-source attention logits ride in the same payload as the
+transformed features (feature-concat), so attention costs no extra round.
+
+Everything here is written for use inside ``jax.shard_map`` with axis name
+'graph'; AD through shard_map transposes the collectives, so gradients are
+correct without hand-written backward collectives.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bignn_tpu.models.convs import GATConv, GCNConv, GINConv
+from bignn_tpu.models.modules import parse_activation
+from bignn_tpu.ops import segment_softmax, segment_sum, spmm_sorted_coo
+from bignn_tpu.ops.gather import gather_rows
+
+
+def halo_exchange(
+    h_local: jax.Array,  # [B, F] owned rows
+    send_idx: jax.Array,  # [G, S] local ids to send to each peer
+    axis_name: str = "graph",
+) -> jax.Array:
+    """Return the extended array [B + G*S, F]: owned rows ++ received halos.
+
+    Row B + h*S + k holds slot k received from shard h, matching the ext-id
+    remapping baked into the plan's edge_src.
+    """
+    sendbuf = jnp.take(h_local, send_idx, axis=0, mode="clip")  # [G, S, F]
+    recv = jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
+    g, s, f = recv.shape
+    return jnp.concatenate([h_local, recv.reshape(g * s, f)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# distributed outer conv layers (one halo exchange each)
+# ---------------------------------------------------------------------------
+
+
+def dist_gcn_apply(conv: GCNConv, params, h_local, src, dst, weight, send_idx,
+                   axis_name: str = "graph"):
+    b = h_local.shape[0]
+    h_t = jnp.dot(h_local, params["w"], preferred_element_type=jnp.float32)
+    ext = halo_exchange(h_t, send_idx, axis_name)
+    agg = spmm_sorted_coo(ext, src, dst, weight, b)
+    return parse_activation(conv.activation)(agg + params["b"])
+
+
+def dist_gin_apply(conv: GINConv, params, h_local, src, dst, weight, send_idx,
+                   axis_name: str = "graph"):
+    del weight
+    b = h_local.shape[0]
+    ext = halo_exchange(h_local, send_idx, axis_name)
+    agg = spmm_sorted_coo(ext, src, dst, None, b)
+    from bignn_tpu.models.modules import MLP
+
+    hidden = conv.hidden_dim or conv.out_dim
+    mlp = MLP((conv.in_dim, hidden, conv.out_dim), conv.activation)
+    out = mlp.apply(params["mlp"], agg + params["eps"] * h_local)
+    return parse_activation(conv.activation)(out)
+
+
+def dist_gat_apply(conv: GATConv, params, h_local, src, dst, weight, send_idx,
+                   axis_name: str = "graph"):
+    del weight
+    b = h_local.shape[0]
+    H, D = conv.heads, conv.head_dim
+    h_t = jnp.dot(h_local, params["w"], preferred_element_type=jnp.float32)
+    hh = h_t.reshape(b, H, D)
+    score_l = jnp.sum(hh * params["a_l"], axis=-1)  # [B, H] dst part (local)
+    score_r = jnp.sum(hh * params["a_r"], axis=-1)  # [B, H] src part (travels)
+    # one exchange carries features + src attention logits
+    payload = jnp.concatenate([h_t, score_r], axis=1)  # [B, H*D + H]
+    ext = halo_exchange(payload, send_idx, axis_name)
+    h_ext, sr_ext = ext[:, : H * D], ext[:, H * D :]
+    e = gather_rows(score_l, dst) + gather_rows(sr_ext, src)
+    e = jax.nn.leaky_relu(e, conv.negative_slope)  # [E, H]
+    alpha = segment_softmax(e, dst, b)
+    msgs = gather_rows(h_ext.reshape(-1, H, D), src) * alpha[:, :, None]
+    agg = segment_sum(msgs.reshape(-1, H * D), dst, b)
+    return parse_activation(conv.activation)(agg + params["b"])
+
+
+_DIST_APPLY = {GCNConv: dist_gcn_apply, GINConv: dist_gin_apply, GATConv: dist_gat_apply}
+
+
+def dist_outer_forward(
+    model,
+    params: dict,
+    h_local: jax.Array,  # [B, F] this shard's drug embeddings
+    edge_src: jax.Array,  # [E_cap] ext ids
+    edge_dst: jax.Array,  # [E_cap] local ids, sorted; pad = B
+    edge_weight: jax.Array,
+    send_idx: jax.Array,  # [G, S]
+    axis_name: str = "graph",
+) -> jax.Array:
+    """Distributed equivalent of BiGNN.propagate_outer for one shard."""
+    _, inner_dim = model._inner_stack()
+    outer_layers, _ = model._outer_stack(inner_dim)
+    for i, conv in enumerate(outer_layers):
+        try:
+            fn = _DIST_APPLY[type(conv)]
+        except KeyError:
+            raise NotImplementedError(
+                f"distributed outer layer for {type(conv).__name__}"
+            )
+        h_local = fn(
+            conv, params["outer"][f"layer_{i}"], h_local,
+            edge_src, edge_dst, edge_weight, send_idx, axis_name,
+        )
+    return h_local

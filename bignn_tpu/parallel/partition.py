@@ -1,0 +1,237 @@
+"""Outer-graph edge partitioning for multi-chip propagation (SURVEY.md P2).
+
+Scheme (owner-computes, contiguous node blocks):
+
+  * Drug nodes are split into G contiguous blocks of B = ceil(N/G); shard g
+    owns nodes [g*B, (g+1)*B). With per-shard embedding buffers of exactly B
+    rows, the all-gathered matrix index equals the global node id — pair
+    scoring needs no id remapping.
+  * Each *directed* edge (s -> d) lives on owner(d). All incoming edges of a
+    node are therefore on one shard: aggregation (and GAT segment-softmax)
+    stays local. Because the global edge list is destination-sorted and
+    ownership is by contiguous dst ranges, each shard's edges are a
+    contiguous slice of the global list — the partition preserves the
+    sorted-segment layout contract for free.
+  * Every remote source node a shard references is a **boundary node**; the
+    plan records, for each ordered shard pair (h -> g), the local indices
+    shard h must send to g. At runtime this drives one ragged-padded
+    all-to-all per outer layer (parallel/halo.py), which is the BI-GNN
+    boundary-embedding exchange mandated by BASELINE.json:5,11.
+  * Edge src ids are pre-remapped into the shard's *extended* array:
+    [0, B) = owned rows, B + h*S + k = k-th slot received from shard h.
+
+GCN normalization is computed globally before partitioning (degrees must be
+global), so distributed results match single-device bitwise up to reduction
+order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from bignn_tpu.sparse.formats import OuterGraph, symmetrize, _build_sorted
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+@dataclasses.dataclass
+class OuterPartitionPlan:
+    """Static halo-exchange plan for one outer graph on G shards.
+
+    Shapes are uniform across shards (leading G axis) so the whole plan can
+    be fed through shard_map:
+      send_idx   [G, G, S]  — send_idx[g, h] = local node ids shard g sends
+                              to shard h (pad: 0; receivers never read pads)
+      edge_src   [G, E_cap] — src ids into the extended array (see module
+                              docstring); pad: 0
+      edge_dst   [G, E_cap] — local dst ids; pad: B (dropped by segment ops)
+      edge_weight[G, E_cap] — GCN weights; pad: 0
+    """
+
+    num_nodes: int
+    n_shards: int
+    node_block: int  # B
+    halo_size: int  # S
+    edge_cap: int
+    send_idx: np.ndarray
+    edge_src: np.ndarray
+    edge_dst: np.ndarray
+    edge_weight: np.ndarray
+
+    @property
+    def ext_size(self) -> int:
+        return self.node_block + self.n_shards * self.halo_size
+
+    def owner(self, node: np.ndarray) -> np.ndarray:
+        return np.asarray(node) // self.node_block
+
+    def stats(self) -> dict:
+        real_edges = (self.edge_dst < self.node_block).sum(axis=1)
+        return {
+            "edges_per_shard": real_edges.tolist(),
+            "halo_slots": int(self.halo_size),
+            "edge_cap": int(self.edge_cap),
+            "replication_factor": float(
+                1.0 + self.n_shards * self.halo_size / max(self.num_nodes, 1)
+            ),
+        }
+
+
+def build_sharded_inner(
+    molecules,
+    plan: OuterPartitionPlan,
+    *,
+    normalize: bool = True,
+    add_self_loops: bool = True,
+):
+    """Per-shard padded molecule unions, stacked on a leading G axis.
+
+    Shard g encodes the molecules of its owned drugs [g*B, (g+1)*B); the
+    readout's graph ids are *local* drug slots so the inner level needs no
+    communication at all. All shards share identical caps (max over shards,
+    128-aligned edges) so the stack feeds straight through shard_map.
+
+    Returns a PaddedGraphBatch whose array fields carry a leading [G] axis
+    (num_graphs = B uniformly; missing drugs on the last shard readout to
+    zero rows).
+    """
+    from bignn_tpu.sparse.formats import PaddedGraphBatch
+
+    G, B = plan.n_shards, plan.node_block
+    n = len(molecules)
+    feat_dim = molecules[0].node_feat.shape[1]
+
+    shards = []
+    for g in range(G):
+        mols = molecules[g * B : min((g + 1) * B, n)]
+        feats, srcs, dsts, gids, nnodes = [], [], [], [], []
+        off = 0
+        for li, m in enumerate(mols):
+            feats.append(np.asarray(m.node_feat, np.float32))
+            srcs.append(np.asarray(m.src, np.int64) + off)
+            dsts.append(np.asarray(m.dst, np.int64) + off)
+            gids.append(np.full(m.num_nodes, li, np.int32))
+            nnodes.append(m.num_nodes)
+            off += m.num_nodes
+        s, d, w = _build_sorted(
+            np.concatenate(srcs) if srcs else np.zeros(0, np.int64),
+            np.concatenate(dsts) if dsts else np.zeros(0, np.int64),
+            off, normalize, add_self_loops,
+        )
+        shards.append(dict(
+            feat=np.concatenate(feats) if feats else np.zeros((0, feat_dim), np.float32),
+            gids=np.concatenate(gids) if gids else np.zeros(0, np.int32),
+            nnodes=np.asarray(nnodes, np.float32),
+            src=s, dst=d, w=w, total_nodes=off,
+        ))
+
+    node_cap = _round_up(max(sh["total_nodes"] for sh in shards), 8)
+    edge_cap = _round_up(max(max(len(sh["src"]) for sh in shards), 128), 128)
+
+    def pad(x, cap, fill):
+        out = np.full((cap,) + x.shape[1:], fill, x.dtype)
+        out[: len(x)] = x
+        return out
+
+    fields = dict(node_feat=[], node_mask=[], edge_src=[], edge_dst=[],
+                  edge_weight=[], graph_ids=[], graph_n_nodes=[])
+    for sh in shards:
+        tn = sh["total_nodes"]
+        fields["node_feat"].append(pad(sh["feat"], node_cap, 0.0))
+        fields["node_mask"].append(pad(np.ones(tn, np.float32), node_cap, 0.0))
+        fields["edge_src"].append(pad(sh["src"].astype(np.int32), edge_cap, 0))
+        fields["edge_dst"].append(pad(sh["dst"].astype(np.int32), edge_cap, node_cap))
+        fields["edge_weight"].append(pad(sh["w"], edge_cap, 0.0))
+        fields["graph_ids"].append(pad(sh["gids"], node_cap, B))
+        fields["graph_n_nodes"].append(pad(sh["nnodes"], B, 0.0))
+
+    return PaddedGraphBatch(
+        **{k: np.stack(v) for k, v in fields.items()},
+        num_graphs=B,
+        node_cap=node_cap,
+        edge_cap=edge_cap,
+    )
+
+
+def build_outer_partition(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    n_shards: int,
+    *,
+    normalize: bool = True,
+    add_self_loops: bool = True,
+    symmetrize_edges: bool = True,
+) -> OuterPartitionPlan:
+    """Build the plan from an undirected edge list (same input contract as
+    sparse.formats.build_outer_graph)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    if symmetrize_edges:
+        src, dst = symmetrize(src, dst)
+    # global normalization + destination sort (native fast path when built)
+    s, d, w = _build_sorted(src, dst, num_nodes, normalize, add_self_loops)
+
+    B = -(-num_nodes // n_shards)
+    owner_d = d // B  # shard of each edge (contiguous in the sorted list)
+    owner_s = s // B
+
+    # --- boundary sets: for each ordered pair (h -> g), nodes of h needed by g
+    send_sets: list[list[np.ndarray]] = [
+        [np.zeros(0, np.int64) for _ in range(n_shards)] for _ in range(n_shards)
+    ]
+    for g in range(n_shards):
+        mask_g = owner_d == g
+        for h in range(n_shards):
+            if h == g:
+                continue
+            need = np.unique(s[mask_g & (owner_s == h)])
+            send_sets[h][g] = need - h * B  # local ids on shard h
+    S = max((len(send_sets[h][g]) for h in range(n_shards) for g in range(n_shards)),
+            default=0)
+    S = max(_round_up(max(S, 1), 8), 8)
+
+    send_idx = np.zeros((n_shards, n_shards, S), np.int32)
+    # recv-slot lookup: for (g, global src id) -> ext index
+    slot_of: list[dict[int, int]] = [dict() for _ in range(n_shards)]
+    for h in range(n_shards):
+        for g in range(n_shards):
+            ids = send_sets[h][g]
+            send_idx[h, g, : len(ids)] = ids
+            for k, local in enumerate(ids):
+                slot_of[g][int(h * B + local)] = B + h * S + k
+
+    # --- per-shard edge slices with remapped src ids
+    e_counts = np.bincount(owner_d, minlength=n_shards)
+    edge_cap = max(_round_up(int(e_counts.max()), 128), 128)
+    edge_src = np.zeros((n_shards, edge_cap), np.int32)
+    edge_dst = np.full((n_shards, edge_cap), B, np.int32)
+    edge_w = np.zeros((n_shards, edge_cap), np.float32)
+    for g in range(n_shards):
+        mask = owner_d == g
+        sg, dg, wg = s[mask], d[mask], w[mask]
+        src_l = np.where(
+            sg // B == g,
+            sg - g * B,
+            np.array([slot_of[g].get(int(x), 0) for x in sg], np.int64),
+        )
+        n_e = len(sg)
+        edge_src[g, :n_e] = src_l
+        edge_dst[g, :n_e] = dg - g * B
+        edge_w[g, :n_e] = wg
+
+    return OuterPartitionPlan(
+        num_nodes=num_nodes,
+        n_shards=n_shards,
+        node_block=B,
+        halo_size=S,
+        edge_cap=edge_cap,
+        send_idx=send_idx,
+        edge_src=edge_src,
+        edge_dst=edge_dst,
+        edge_weight=edge_w,
+    )

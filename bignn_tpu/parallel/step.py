@@ -1,0 +1,120 @@
+"""Full distributed training step: dp x graph mesh (SURVEY.md P1 + P2).
+
+Layout per (dp, graph) mesh cell:
+  * inner level    — each 'graph' shard encodes the molecules of its owned
+                     drug block locally (zero communication), replicated
+                     across 'dp';
+  * outer level    — halo all-to-all over 'graph' per layer (parallel/halo);
+  * scoring        — final shard embeddings all-gathered over 'graph'
+                     (contiguous ownership makes gathered index == global
+                     drug id); the pair minibatch is sharded over 'dp';
+  * loss/grads     — masked-mean loss psum'd over 'dp'; gradient collectives
+                     come from AD transposing the shard_map — nothing is
+                     hand-written.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bignn_tpu.data.sampler import sample_negative_pairs
+from bignn_tpu.models.bignn import BiGNN
+from bignn_tpu.parallel.halo import dist_outer_forward
+from bignn_tpu.parallel.partition import OuterPartitionPlan
+
+
+def make_p2_train_step(
+    model: BiGNN,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    num_drugs: int,
+    neg_ratio: int = 1,
+) -> Callable:
+    """Build the jit'd dp x graph train step.
+
+    Closure signature:
+      step(params, opt_state, key, pos_pairs, pos_mask,
+           inner_batch, edge_src, edge_dst, edge_weight, send_idx)
+        -> (params, opt_state, loss)
+
+    ``inner_batch`` is the stacked PaddedGraphBatch from
+    parallel.partition.build_sharded_inner; edge_* / send_idx come from the
+    OuterPartitionPlan. ``pos_pairs`` [B_glob, 2] with B_glob divisible by
+    the dp axis size.
+    """
+    def shard_loss(params, pairs, labels, mask, inner_batch, esrc, edst, ew, sidx):
+        # strip the leading per-shard axis kept by shard_map
+        batch = jax.tree.map(lambda x: x[0], inner_batch)
+        h_local = model.encode_inner(params, batch)  # [B, d]
+        h_local = dist_outer_forward(
+            model, params, h_local, esrc[0], edst[0], ew[0], sidx[0]
+        )
+        emb = jax.lax.all_gather(h_local, "graph", tiled=True)  # [G*B, d]
+        logits = model.score_pairs(params, emb, pairs).astype(jnp.float32)
+        per = (jnp.maximum(logits, 0.0) - logits * labels
+               + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        num = jax.lax.psum(jnp.sum(per * mask), "dp")
+        den = jax.lax.psum(jnp.sum(mask), "dp")
+        # pmean over 'graph' is a numerical no-op (every graph shard computes
+        # the same loss from the gathered embeddings) but makes replication
+        # provable for shard_map's out_specs check.
+        return jax.lax.pmean(num / jnp.maximum(den, 1.0), "graph")
+
+    sharded_loss = jax.shard_map(
+        shard_loss,
+        mesh=mesh,
+        in_specs=(
+            P(),            # params (replicated)
+            P("dp", None),  # pairs
+            P("dp"),        # labels
+            P("dp"),        # mask
+            P("graph"),     # inner_batch (prefix spec: applies to all leaves)
+            P("graph"), P("graph"), P("graph"), P("graph"),
+        ),
+        out_specs=P(),
+    )
+
+    def loss_fn(params, key, pos_pairs, pos_mask, inner_batch, esrc, edst, ew, sidx):
+        # Negatives are sampled on the GLOBAL batch, outside shard_map, so
+        # results are identical across device counts (SURVEY.md §4 item 6).
+        neg = sample_negative_pairs(key, pos_pairs, num_drugs, neg_ratio)
+        pairs = jnp.concatenate([pos_pairs, neg], axis=0)
+        labels = jnp.concatenate(
+            [jnp.ones(pos_pairs.shape[0]), jnp.zeros(neg.shape[0])]
+        )
+        mask = jnp.concatenate([pos_mask, jnp.tile(pos_mask, (neg_ratio,))])
+        return sharded_loss(
+            params, pairs, labels, mask, inner_batch, esrc, edst, ew, sidx
+        )
+
+    @jax.jit
+    def step(params, opt_state, key, pos_pairs, pos_mask,
+             inner_batch, esrc, edst, ew, sidx):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, key, pos_pairs, pos_mask, inner_batch, esrc, edst, ew, sidx
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def device_put_plan(mesh: Mesh, plan: OuterPartitionPlan, inner_batch):
+    """Place the stacked plan arrays on the 'graph' axis, replicated on dp."""
+    gspec = NamedSharding(mesh, P("graph"))
+    put = lambda x: jax.device_put(jnp.asarray(x), gspec)
+    inner = jax.tree.map(put, inner_batch)
+    return (
+        inner,
+        put(plan.edge_src),
+        put(plan.edge_dst),
+        put(plan.edge_weight),
+        put(plan.send_idx),
+    )
