@@ -1,0 +1,97 @@
+"""Experiment configs (SURVEY.md §5 config row; BASELINE.json:7-11).
+
+Typed replacement for the reference's global argparse FLAGS: one frozen
+dataclass per experiment, the model described as layer-spec data (the
+reference's good idea, kept). The five milestone configs from BASELINE.json
+are registered by name.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from bignn_tpu.models.bignn import BiGNNConfig
+from bignn_tpu.train.trainer import TrainConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    dataset: str
+    dataset_kwargs: dict
+    model: BiGNNConfig
+    train: TrainConfig
+    mode: str = "full"  # "full" | "minibatch"
+    fanouts: tuple[int, ...] = (10,)
+    max_buckets: int = 4
+    # distribution (used by run.py when the mesh has >1 device)
+    dp: int | None = None
+    graph_shards: int = 1
+
+
+def _feat(dataset_kwargs, default):
+    return dataset_kwargs.get("feat_dim", default)
+
+
+def get_config(name: str, **overrides) -> ExperimentConfig:
+    """Milestone configs #1-#5 (BASELINE.json:7-11) + aliases."""
+    registry = {
+        # 1: 2-layer GCN inner + 1-layer GCN outer, small DDI, CPU-runnable
+        "config1": ExperimentConfig(
+            name="config1",
+            dataset="synthetic-small",
+            dataset_kwargs=dict(num_drugs=500, feat_dim=16),
+            model=BiGNNConfig.config1(feat_dim=16),
+            train=TrainConfig(lr=5e-3, epochs=20, batch_size=256),
+        ),
+        # 2: full BI-GNN (GIN inner, GAT outer) on DrugBank DDI
+        "config2": ExperimentConfig(
+            name="config2",
+            dataset="drugbank",
+            dataset_kwargs=dict(),
+            model=BiGNNConfig.full_bignn(feat_dim=64, dim=128, heads=4),
+            train=TrainConfig(lr=1e-3, epochs=40, batch_size=2048),
+        ),
+        # 3: BioSNAP, mini-batched hierarchical sampling, bucketed molecules
+        "config3": ExperimentConfig(
+            name="config3",
+            dataset="biosnap",
+            dataset_kwargs=dict(),
+            model=BiGNNConfig.full_bignn(feat_dim=64, dim=128, heads=4),
+            train=TrainConfig(lr=1e-3, epochs=40, batch_size=512),
+            mode="minibatch",
+            fanouts=(10, 5),
+        ),
+        # 4: large synthetic graph-of-graphs, neighbor sampling, v5e
+        "config4": ExperimentConfig(
+            name="config4",
+            dataset="synthetic-large",
+            dataset_kwargs=dict(),
+            model=BiGNNConfig.full_bignn(feat_dim=32, dim=128, heads=4),
+            train=TrainConfig(lr=1e-3, epochs=5, batch_size=1024),
+            mode="minibatch",
+            fanouts=(10, 5),
+        ),
+        # 5: edge-partitioned outer graph across a pod slice (halo a2a)
+        "config5": ExperimentConfig(
+            name="config5",
+            dataset="drugbank",
+            dataset_kwargs=dict(),
+            model=BiGNNConfig.full_bignn(feat_dim=64, dim=128, heads=4),
+            train=TrainConfig(lr=1e-3, epochs=40, batch_size=2048),
+            mode="p2",
+            graph_shards=4,
+        ),
+    }
+    registry["small"] = registry["config1"]
+    registry["drugbank"] = registry["config2"]
+    registry["biosnap"] = registry["config3"]
+    registry["large"] = registry["config4"]
+    registry["distributed"] = registry["config5"]
+    try:
+        cfg = registry[name]
+    except KeyError:
+        raise ValueError(f"unknown config {name!r}; known: {sorted(registry)}")
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg

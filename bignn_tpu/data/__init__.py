@@ -14,6 +14,7 @@ from bignn_tpu.data.sampler import (
     make_training_pairs,
     EdgeMinibatchSampler,
 )
+from bignn_tpu.data.hierarchical import HierarchicalBatch, HierarchicalSampler
 
 __all__ = [
     "DDIDataset",
@@ -24,4 +25,6 @@ __all__ = [
     "sample_negative_pairs",
     "make_training_pairs",
     "EdgeMinibatchSampler",
+    "HierarchicalBatch",
+    "HierarchicalSampler",
 ]

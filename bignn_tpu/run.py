@@ -1,0 +1,156 @@
+"""Experiment runner CLI (SURVEY.md §2.1 R1 equivalent).
+
+  python -m bignn_tpu.run --config config1
+  python -m bignn_tpu.run --config config2 --epochs 5 --run-dir runs/db
+  python -m bignn_tpu.run --config config5 --graph-shards 4   # needs devices
+
+Replaces the reference's main.py + global FLAGS with typed configs
+(bignn_tpu/config.py) and explicit wiring.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="config1")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--run-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="epochs between checkpoints (0 = off)")
+    p.add_argument("--graph-shards", type=int, default=None)
+    p.add_argument("--profile", default=None, help="jax profiler trace dir")
+    p.add_argument("--backend", default=None,
+                   choices=["auto", "xla", "pallas", "pallas_interpret"])
+    args = p.parse_args(argv)
+
+    import jax
+
+    import bignn_tpu.ops as ops
+    from bignn_tpu.config import get_config
+    from bignn_tpu.data import load_dataset, prepare_device_data
+    from bignn_tpu.models import BiGNN
+    from bignn_tpu.train import MinibatchTrainer, Trainer
+    from bignn_tpu.train.checkpoint import CheckpointManager
+    from bignn_tpu.utils import MetricLogger, profile_trace
+
+    cfg = get_config(args.config)
+    train_over = {
+        k: v
+        for k, v in dict(
+            epochs=args.epochs, batch_size=args.batch_size,
+            lr=args.lr, seed=args.seed,
+        ).items()
+        if v is not None
+    }
+    if train_over:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **train_over)
+        )
+    if args.graph_shards is not None:
+        cfg = dataclasses.replace(cfg, graph_shards=args.graph_shards)
+    if args.backend:
+        ops.set_backend(args.backend)
+
+    logger = MetricLogger(args.run_dir)
+    ds = load_dataset(cfg.dataset, **cfg.dataset_kwargs)
+    logger.log({"event": "dataset", **{k: str(v) for k, v in ds.stats().items()}})
+    model = BiGNN(dataclasses.replace(cfg.model, feat_dim=ds.feat_dim))
+
+    ckpt = CheckpointManager(f"{args.run_dir}/ckpt") if (
+        args.run_dir and args.checkpoint_every
+    ) else None
+
+    with profile_trace(args.profile):
+        if cfg.mode == "minibatch":
+            trainer = MinibatchTrainer(model, ds, cfg.train, fanouts=cfg.fanouts)
+            params, result = trainer.fit(log_fn=logger)
+        elif cfg.mode == "p2":
+            result = _run_p2(model, ds, cfg, logger)
+            params = None
+        else:
+            data = prepare_device_data(ds, max_buckets=cfg.max_buckets)
+            trainer = Trainer(model, data, cfg.train)
+            params, result = trainer.fit(log_fn=logger)
+
+    if ckpt is not None and params is not None:
+        ckpt.save(result.get("best_epoch", 0), params, None,
+                  {"test_auc": result.get("test_auc")})
+        ckpt.close()
+
+    summary = {k: v for k, v in result.items() if k != "history"}
+    logger.log({"event": "done", **summary})
+    if args.run_dir:
+        with open(f"{args.run_dir}/result.json", "w") as f:
+            json.dump(summary, f, indent=2)
+    return result
+
+
+def _run_p2(model, ds, cfg, logger):
+    """Distributed (edge-partitioned) training loop — config #5."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from bignn_tpu.data.sampler import EdgeMinibatchSampler
+    from bignn_tpu.parallel import (
+        build_outer_partition,
+        build_sharded_inner,
+        device_put_plan,
+        make_mesh,
+        make_p2_train_step,
+    )
+
+    n_dev = len(jax.devices())
+    graph = min(cfg.graph_shards, n_dev)
+    dp = n_dev // graph
+    mesh = make_mesh(dp=dp, graph=graph, devices=jax.devices()[: dp * graph])
+    logger.log({"event": "mesh", "dp": dp, "graph": graph})
+
+    train_edges = ds.split_edges("train")
+    plan = build_outer_partition(
+        train_edges[:, 0], train_edges[:, 1], ds.num_drugs, graph
+    )
+    logger.log({"event": "partition", **{k: str(v) for k, v in plan.stats().items()}})
+    inner = build_sharded_inner(ds.molecules, plan)
+    optimizer = optax.adam(cfg.train.lr)
+    params = model.init(jax.random.key(cfg.train.seed))
+    opt_state = optimizer.init(params)
+    step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs,
+                              cfg.train.neg_ratio)
+    inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
+
+    sampler = EdgeMinibatchSampler(train_edges.astype(np.int32),
+                                   cfg.train.batch_size, cfg.train.seed)
+    key = jax.random.key(cfg.train.seed + 1)
+    import time as _time
+
+    history = []
+    with mesh:
+        for epoch in range(cfg.train.epochs):
+            t0 = _time.perf_counter()
+            losses = []
+            for pairs, mask in sampler.epoch():
+                key, sub = jax.random.split(key)
+                params, opt_state, loss = step(
+                    params, opt_state, sub, jnp.asarray(pairs), jnp.asarray(mask),
+                    inner_d, esrc, edst, ew, sidx,
+                )
+                losses.append(loss)
+            rec = {"epoch": epoch, "loss": float(jnp.mean(jnp.stack(losses))),
+                   "epoch_time_s": _time.perf_counter() - t0}
+            history.append(rec)
+            logger.log(rec)
+    return {"history": history, "final_loss": history[-1]["loss"]}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,7 +1,7 @@
 """Training driver: jit'd step, optax, eval, checkpointing (SURVEY.md T5)."""
 
 from bignn_tpu.train.metrics import roc_auc, average_precision, roc_auc_jnp, average_precision_jnp
-from bignn_tpu.train.trainer import Trainer, TrainConfig
+from bignn_tpu.train.trainer import Trainer, MinibatchTrainer, TrainConfig
 
 __all__ = [
     "roc_auc",
@@ -9,5 +9,6 @@ __all__ = [
     "roc_auc_jnp",
     "average_precision_jnp",
     "Trainer",
+    "MinibatchTrainer",
     "TrainConfig",
 ]

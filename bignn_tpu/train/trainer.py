@@ -18,10 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from bignn_tpu.data.hierarchical import HierarchicalBatch, HierarchicalSampler
 from bignn_tpu.data.sampler import EdgeMinibatchSampler, sample_negative_pairs
-from bignn_tpu.data.schema import DeviceData
+from bignn_tpu.data.schema import DDIDataset, DeviceData
 from bignn_tpu.models.bignn import BiGNN
 from bignn_tpu.models.loss import bce_with_logits_loss
+from bignn_tpu.sparse.formats import OuterGraph, PaddedGraphBatch
 from bignn_tpu.train.metrics import average_precision, roc_auc
 
 
@@ -125,6 +127,140 @@ class Trainer:
                 key, sub = jax.random.split(key)
                 params, opt_state, loss = self._train_step(
                     params, opt_state, sub, jnp.asarray(pairs), jnp.asarray(mask)
+                )
+                losses.append(loss)
+            rec = {
+                "epoch": epoch,
+                "loss": float(jnp.mean(jnp.stack(losses))),
+                "epoch_time_s": time.perf_counter() - t0,
+            }
+            if (epoch + 1) % cfg.eval_every == 0 or epoch == cfg.epochs - 1:
+                rec.update(self.evaluate(params, "val"))
+                if rec["val_auc"] > best["val_auc"]:
+                    best = {"val_auc": rec["val_auc"], "params": params, "epoch": epoch}
+            history.append(rec)
+            if log_fn:
+                log_fn(rec)
+        final = self.evaluate(best["params"], "test")
+        return best["params"], {"history": history, "best_epoch": best["epoch"], **final}
+
+
+class MinibatchTrainer:
+    """Hierarchical mini-batch trainer (SURVEY.md T4/T5; configs #3-4).
+
+    Each step trains on a host-sampled L-hop subgraph around the pair batch
+    (data/hierarchical.py) instead of the full graph; shapes are static so
+    the step compiles once. Evaluation reuses the same machinery: held-out
+    pairs are scored in fixed-size chunks with their sampled neighborhoods.
+    """
+
+    def __init__(
+        self,
+        model: BiGNN,
+        ds: DDIDataset,
+        config: TrainConfig,
+        fanouts: tuple[int, ...] = (10,),
+    ):
+        self.model = model
+        self.ds = ds
+        self.config = config
+        self.sampler = HierarchicalSampler(
+            ds,
+            batch_size=config.batch_size,
+            neg_ratio=config.neg_ratio,
+            fanouts=fanouts,
+            seed=config.seed,
+        )
+        self.optimizer = (
+            optax.adamw(config.lr, weight_decay=config.weight_decay)
+            if config.weight_decay
+            else optax.adam(config.lr)
+        )
+        self._train_step = jax.jit(self._step)
+        self._score_batch = jax.jit(self._score)
+
+    # -- jitted bodies ---------------------------------------------------
+    def _forward(self, params, hb: HierarchicalBatch):
+        pb = PaddedGraphBatch(
+            node_feat=hb.node_feat,
+            node_mask=jnp.ones(hb.node_cap, jnp.float32),
+            edge_src=hb.edge_src,
+            edge_dst=hb.edge_dst,
+            edge_weight=hb.edge_weight,
+            graph_ids=hb.graph_ids,
+            graph_n_nodes=hb.graph_n_nodes,
+            num_graphs=hb.drug_budget,
+            node_cap=hb.node_cap,
+            edge_cap=hb.edge_cap,
+        )
+        emb = self.model.encode_inner(params, pb)
+        og = OuterGraph(
+            edge_src=hb.outer_src,
+            edge_dst=hb.outer_dst,
+            edge_weight=hb.outer_weight,
+            num_nodes=hb.drug_budget,
+            edge_cap=hb.outer_edge_cap,
+        )
+        emb = self.model.propagate_outer(params, emb, og)
+        return self.model.score_pairs(params, emb, hb.pairs)
+
+    def _loss(self, params, hb: HierarchicalBatch):
+        logits = self._forward(params, hb)
+        return bce_with_logits_loss(logits, hb.labels, hb.mask)
+
+    def _step(self, params, opt_state, hb):
+        loss, grads = jax.value_and_grad(self._loss)(params, hb)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def _score(self, params, hb):
+        return self._forward(params, hb)
+
+    # -- host loop -------------------------------------------------------
+    def init(self, key=None):
+        key = key if key is not None else jax.random.key(self.config.seed)
+        params = self.model.init(key)
+        return params, self.optimizer.init(params)
+
+    def evaluate(self, params, split: str = "val", neg_seed: int = 1234) -> dict:
+        pos = self.ds.split_edges(split).astype(np.int64)
+        rng = np.random.default_rng(neg_seed)
+        corrupt_right = rng.random(len(pos)) < 0.5
+        rand = rng.integers(0, self.ds.num_drugs, len(pos))
+        neg = np.stack(
+            [np.where(corrupt_right, pos[:, 0], rand),
+             np.where(corrupt_right, rand, pos[:, 1])], axis=1,
+        )
+        pairs = np.concatenate([pos, neg])
+        labels = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
+        cap = self.sampler.pair_cap
+        scores = np.zeros(len(pairs), np.float64)
+        for start in range(0, len(pairs), cap):
+            chunk = pairs[start : start + cap]
+            lab = labels[start : start + cap].astype(np.float32)
+            hb = self.sampler.batch_from_pairs(chunk, lab)
+            s = np.asarray(self._score_batch(params, jax.tree.map(jnp.asarray, hb)))
+            scores[start : start + len(chunk)] = s[: len(chunk)]
+        return {
+            f"{split}_auc": roc_auc(labels, scores),
+            f"{split}_ap": average_precision(labels, scores),
+        }
+
+    def fit(self, params=None, opt_state=None, steps_per_epoch=None, log_fn=None):
+        cfg = self.config
+        if params is None:
+            params, opt_state = self.init()
+        n_steps = steps_per_epoch or len(self.sampler)
+        best = {"val_auc": -1.0, "params": params, "epoch": -1}
+        history = []
+        for epoch in range(cfg.epochs):
+            t0 = time.perf_counter()
+            losses = []
+            for _ in range(n_steps):
+                hb = self.sampler.sample()
+                params, opt_state, loss = self._train_step(
+                    params, opt_state, jax.tree.map(jnp.asarray, hb)
                 )
                 losses.append(loss)
             rec = {
