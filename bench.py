@@ -27,8 +27,8 @@ def main() -> None:
                         choices=["small", "drugbank", "large"])
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--batch", type=int, default=2048)
-    parser.add_argument("--backend", default=None,
-                        choices=[None, "xla", "pallas"], nargs="?")
+    parser.add_argument("--backend", default="auto",
+                        choices=["auto", "xla", "pallas"])
     args = parser.parse_args()
 
     import jax

@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 
 from bignn_tpu.models.modules import MLP, Dense, glorot, parse_activation
-from bignn_tpu.ops import sddmm, segment_softmax, segment_sum, spmm_sorted_coo
+from bignn_tpu.ops import (
+    sddmm,
+    segment_softmax,
+    segment_sum,
+    spmm_multihead,
+    spmm_sorted_coo,
+)
 from bignn_tpu.ops.gather import gather_rows
 
 
@@ -119,9 +125,10 @@ class GATConv:
         e = gather_rows(score_l, edge_dst) + gather_rows(score_r, edge_src)
         e = jax.nn.leaky_relu(e, self.negative_slope)  # [E, H]
         alpha = segment_softmax(e, edge_dst, num_nodes)  # [E, H]
-        msgs = gather_rows(hh, edge_src) * alpha[:, :, None]  # [E, H, D]
-        agg = segment_sum(msgs.reshape(-1, H * D), edge_dst, num_nodes)
-        return parse_activation(self.activation)(agg + params["b"])
+        agg = spmm_multihead(hh, edge_src, edge_dst, alpha, num_nodes)
+        return parse_activation(self.activation)(
+            agg.reshape(-1, H * D) + params["b"]
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -163,9 +170,10 @@ class DotAttnConv:
         v = jnp.dot(x, params["wv"], preferred_element_type=jnp.float32).reshape(-1, H, D)
         e = sddmm(q, k, edge_src, edge_dst) / jnp.sqrt(jnp.float32(D))  # [E, H]
         alpha = segment_softmax(e, edge_dst, num_nodes)
-        msgs = gather_rows(v, edge_src) * alpha[:, :, None]
-        agg = segment_sum(msgs.reshape(-1, H * D), edge_dst, num_nodes)
-        return parse_activation(self.activation)(agg + params["b"])
+        agg = spmm_multihead(v, edge_src, edge_dst, alpha, num_nodes)
+        return parse_activation(self.activation)(
+            agg.reshape(-1, H * D) + params["b"]
+        )
 
 
 def parse_conv(spec: str, in_dim: int):

@@ -28,6 +28,7 @@ from bignn_tpu.ops.segment import (
     segment_softmax,
 )
 from bignn_tpu.ops.spmm import spmm_sorted_coo
+from bignn_tpu.ops.multihead import spmm_multihead
 from bignn_tpu.ops.sddmm import sddmm
 from bignn_tpu.ops.gather import gather_rows
 
@@ -40,6 +41,7 @@ __all__ = [
     "segment_max",
     "segment_softmax",
     "spmm_sorted_coo",
+    "spmm_multihead",
     "sddmm",
     "gather_rows",
 ]

@@ -4,13 +4,18 @@ Measured on v5e (scratch/tpu_micro.py, E=10M, F=128):
   * XLA row gather ``x[src]`` already runs at HBM speed-of-light
     (319 GB/s read + write ≈ 640 GB/s total) — no kernel needed there;
   * XLA sorted segment_sum runs at 57 GB/s (scatter-add serialization) —
-    that is the part the Pallas kernel replaces.
-
-So the pallas-backend SpMM is: XLA gather+scale (fused by XLA into one
-pass) feeding the Pallas one-hot-MXU segment-sum kernel.
+    replaced by the Pallas one-hot-MXU segment-sum kernel (396 GB/s);
+  * the *backward* of the gather is an unsorted scatter-add (33-57 GB/s in
+    XLA). The custom VJP below replaces it too: permute the per-edge
+    cotangents into source-sorted order (one gather, HBM-bound) and run the
+    same Pallas sorted-segment-sum over ``src``. The argsort of ``src`` is
+    identical across layers/steps for a fixed graph, so XLA CSE computes it
+    once per compiled step.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +32,76 @@ def spmm_pallas(
     *,
     interpret: bool = False,
 ) -> jax.Array:
+    if weight is None:
+        return _spmm_unweighted(x, src, dst, num_out, interpret)
+    return _spmm_weighted(x, src, dst, weight, num_out, interpret)
+
+
+def _forward(x, src, dst, weight, num_out, interpret):
     msgs = jnp.take(x, src, axis=0, mode="clip")
     if weight is not None:
         msgs = msgs * weight[:, None].astype(msgs.dtype)
     return segment_sum_pallas(msgs, dst, num_out, interpret=interpret)
+
+
+def _masked_cotangent(g, dst, num_out):
+    """Per-edge cotangent rows; padded edges (dst out of range) get zero."""
+    g_e = jnp.take(g, dst, axis=0, mode="clip")
+    return jnp.where((dst < num_out)[:, None], g_e, 0.0)
+
+
+def _dx_sorted(m, src, num_src, interpret):
+    """d_x = scatter-add of m at src — done as sort + sorted-segment-sum."""
+    perm = jnp.argsort(src)
+    return segment_sum_pallas(
+        jnp.take(m, perm, axis=0),
+        jnp.take(src, perm),
+        num_src,
+        interpret=interpret,
+    )
+
+
+# ---- weighted --------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _spmm_weighted(x, src, dst, weight, num_out, interpret):
+    return _forward(x, src, dst, weight, num_out, interpret)
+
+
+def _spmm_weighted_fwd(x, src, dst, weight, num_out, interpret):
+    return _forward(x, src, dst, weight, num_out, interpret), (x, src, dst, weight)
+
+
+def _spmm_weighted_bwd(num_out, interpret, res, g):
+    x, src, dst, weight = res
+    g_e = _masked_cotangent(g, dst, num_out)
+    d_w = jnp.sum(g_e * jnp.take(x, src, axis=0, mode="clip"), axis=-1)
+    m = g_e * weight[:, None].astype(g_e.dtype)
+    d_x = _dx_sorted(m, src, x.shape[0], interpret)
+    return d_x.astype(x.dtype), None, None, d_w.astype(weight.dtype)
+
+
+_spmm_weighted.defvjp(_spmm_weighted_fwd, _spmm_weighted_bwd)
+
+
+# ---- unweighted ------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _spmm_unweighted(x, src, dst, num_out, interpret):
+    return _forward(x, src, dst, None, num_out, interpret)
+
+
+def _spmm_unweighted_fwd(x, src, dst, num_out, interpret):
+    return _forward(x, src, dst, None, num_out, interpret), (x, src, dst)
+
+
+def _spmm_unweighted_bwd(num_out, interpret, res, g):
+    x, src, dst = res
+    m = _masked_cotangent(g, dst, num_out)
+    d_x = _dx_sorted(m, src, x.shape[0], interpret)
+    return d_x.astype(x.dtype), None, None
+
+
+_spmm_unweighted.defvjp(_spmm_unweighted_fwd, _spmm_unweighted_bwd)

@@ -18,7 +18,12 @@ from bignn_tpu.parallel.partition import (
     build_outer_partition,
     build_sharded_inner,
 )
-from bignn_tpu.parallel.halo import halo_exchange, dist_outer_forward
+from bignn_tpu.parallel.halo import (
+    halo_exchange,
+    dist_outer_forward,
+    p2_overlap_forward,
+)
+from bignn_tpu.parallel.partition import boundary_drugs
 from bignn_tpu.parallel.step import make_p2_train_step, device_put_plan
 
 __all__ = [
@@ -30,6 +35,8 @@ __all__ = [
     "build_sharded_inner",
     "halo_exchange",
     "dist_outer_forward",
+    "p2_overlap_forward",
+    "boundary_drugs",
     "make_p2_train_step",
     "device_put_plan",
 ]

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from bignn_tpu.models.convs import GATConv, GCNConv, GINConv
 from bignn_tpu.models.modules import parse_activation
-from bignn_tpu.ops import segment_softmax, segment_sum, spmm_sorted_coo
+from bignn_tpu.ops import segment_softmax, segment_sum, spmm_multihead, spmm_sorted_coo
 from bignn_tpu.ops.gather import gather_rows
 
 
@@ -90,12 +90,104 @@ def dist_gat_apply(conv: GATConv, params, h_local, src, dst, weight, send_idx,
     e = gather_rows(score_l, dst) + gather_rows(sr_ext, src)
     e = jax.nn.leaky_relu(e, conv.negative_slope)  # [E, H]
     alpha = segment_softmax(e, dst, b)
-    msgs = gather_rows(h_ext.reshape(-1, H, D), src) * alpha[:, :, None]
-    agg = segment_sum(msgs.reshape(-1, H * D), dst, b)
-    return parse_activation(conv.activation)(agg + params["b"])
+    agg = spmm_multihead(h_ext.reshape(-1, H, D), src, dst, alpha, b)
+    return parse_activation(conv.activation)(
+        agg.reshape(-1, H * D) + params["b"]
+    )
 
 
 _DIST_APPLY = {GCNConv: dist_gcn_apply, GINConv: dist_gin_apply, GATConv: dist_gat_apply}
+
+
+# ---------------------------------------------------------------------------
+# ext-based variants: the halo was exchanged as RAW embeddings earlier (the
+# overlap path — transform commutes with aggregation for GCN, and GIN/GAT
+# only need raw source rows), so the conv works off a precomputed ext array.
+# ---------------------------------------------------------------------------
+
+
+def dist_gcn_apply_ext(conv: GCNConv, params, h_local, ext, src, dst, weight):
+    b = h_local.shape[0]
+    h_t_ext = jnp.dot(ext, params["w"], preferred_element_type=jnp.float32)
+    agg = spmm_sorted_coo(h_t_ext, src, dst, weight, b)
+    return parse_activation(conv.activation)(agg + params["b"])
+
+
+def dist_gin_apply_ext(conv: GINConv, params, h_local, ext, src, dst, weight):
+    del weight
+    b = h_local.shape[0]
+    agg = spmm_sorted_coo(ext, src, dst, None, b)
+    from bignn_tpu.models.modules import MLP
+
+    hidden = conv.hidden_dim or conv.out_dim
+    mlp = MLP((conv.in_dim, hidden, conv.out_dim), conv.activation)
+    out = mlp.apply(params["mlp"], agg + params["eps"] * h_local)
+    return parse_activation(conv.activation)(out)
+
+
+def dist_gat_apply_ext(conv: GATConv, params, h_local, ext, src, dst, weight):
+    del weight
+    b = h_local.shape[0]
+    H, D = conv.heads, conv.head_dim
+    hh_ext = jnp.dot(ext, params["w"], preferred_element_type=jnp.float32)
+    hh_ext = hh_ext.reshape(-1, H, D)
+    score_l = jnp.sum(hh_ext[:b] * params["a_l"], axis=-1)  # [B, H]
+    score_r = jnp.sum(hh_ext * params["a_r"], axis=-1)  # [B+G*S, H]
+    e = gather_rows(score_l, dst) + gather_rows(score_r, src)
+    e = jax.nn.leaky_relu(e, conv.negative_slope)
+    alpha = segment_softmax(e, dst, b)
+    agg = spmm_multihead(hh_ext, src, dst, alpha, b)
+    return parse_activation(conv.activation)(
+        agg.reshape(-1, H * D) + params["b"]
+    )
+
+
+_DIST_APPLY_EXT = {
+    GCNConv: dist_gcn_apply_ext,
+    GINConv: dist_gin_apply_ext,
+    GATConv: dist_gat_apply_ext,
+}
+
+
+def p2_overlap_forward(
+    model,
+    params: dict,
+    bnd_batch,  # this shard's boundary-molecule union (leading axis stripped)
+    int_batch,  # this shard's interior-molecule union
+    edge_src: jax.Array,
+    edge_dst: jax.Array,
+    edge_weight: jax.Array,
+    send_idx: jax.Array,  # [G, S]
+    axis_name: str = "graph",
+) -> jax.Array:
+    """Distributed bi-level forward with the flagship overlap
+    (BASELINE.json:5,11): boundary drugs encode first, their RAW embeddings
+    enter the all-to-all, and the interior molecules' inner aggregation runs
+    while the exchange is in flight (no data dependency — XLA's async
+    collectives schedule them concurrently). Outer layer 1 consumes the raw
+    ext; deeper layers fall back to the per-layer exchange."""
+    h_bnd = model.encode_inner(params, bnd_batch)  # [B, d]
+    sendbuf = jnp.take(h_bnd, send_idx, axis=0, mode="clip")  # [G, S, d]
+    recv = jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
+    h_int = model.encode_inner(params, int_batch)  # overlapped with the a2a
+    h_local = h_bnd + h_int  # disjoint slots
+    g, s, f = recv.shape
+    ext = jnp.concatenate([h_local, recv.reshape(g * s, f)], axis=0)
+
+    _, inner_dim = model._inner_stack()
+    outer_layers, _ = model._outer_stack(inner_dim)
+    for i, conv in enumerate(outer_layers):
+        p = params["outer"][f"layer_{i}"]
+        if i == 0:
+            h_local = _DIST_APPLY_EXT[type(conv)](
+                conv, p, h_local, ext, edge_src, edge_dst, edge_weight
+            )
+        else:
+            h_local = _DIST_APPLY[type(conv)](
+                conv, p, h_local, edge_src, edge_dst, edge_weight, send_idx,
+                axis_name,
+            )
+    return h_local
 
 
 def dist_outer_forward(

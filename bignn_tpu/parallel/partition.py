@@ -61,6 +61,16 @@ class OuterPartitionPlan:
     edge_src: np.ndarray
     edge_dst: np.ndarray
     edge_weight: np.ndarray
+    # overlap split (communication/computation overlap, BASELINE.json:5,11):
+    # local_* edges have src on this shard (no halo dependency — aggregated
+    # while the all-to-all is in flight); remote_* edges read halo slots
+    # (src stored as ext id, i.e. >= B) and are aggregated after the wait.
+    local_src: np.ndarray | None = None  # [G, E_loc_cap]
+    local_dst: np.ndarray | None = None
+    local_weight: np.ndarray | None = None
+    remote_src: np.ndarray | None = None  # [G, E_rem_cap] (ext ids)
+    remote_dst: np.ndarray | None = None
+    remote_weight: np.ndarray | None = None
 
     @property
     def ext_size(self) -> int:
@@ -81,55 +91,60 @@ class OuterPartitionPlan:
         }
 
 
-def build_sharded_inner(
-    molecules,
-    plan: OuterPartitionPlan,
-    *,
-    normalize: bool = True,
-    add_self_loops: bool = True,
-):
-    """Per-shard padded molecule unions, stacked on a leading G axis.
+def boundary_drugs(plan: OuterPartitionPlan) -> list[np.ndarray]:
+    """Per shard: local drug slots some peer needs (appear in send_idx with a
+    real entry). Used to split the inner level so the boundary drugs encode
+    first and their halo exchange overlaps interior encoding."""
+    out = []
+    for g in range(plan.n_shards):
+        slots = set()
+        for h in range(plan.n_shards):
+            if h == g:
+                continue
+            # send_idx pads with 0; slot 0 is only real if some real edge
+            # needs it — over-approximating by including it is harmless
+            # (a boundary drug merely encodes in the first batch).
+            slots.update(int(x) for x in plan.send_idx[g, h])
+        out.append(np.asarray(sorted(slots), np.int64))
+    return out
 
-    Shard g encodes the molecules of its owned drugs [g*B, (g+1)*B); the
-    readout's graph ids are *local* drug slots so the inner level needs no
-    communication at all. All shards share identical caps (max over shards,
-    128-aligned edges) so the stack feeds straight through shard_map.
 
-    Returns a PaddedGraphBatch whose array fields carry a leading [G] axis
-    (num_graphs = B uniformly; missing drugs on the last shard readout to
-    zero rows).
-    """
+def _pack_union(molecule_list, slot_list, num_slots, feat_dim,
+                normalize, add_self_loops):
+    """One shard's padded molecule union; graph ids are given drug slots."""
+    feats, srcs, dsts, gids, nnodes = [], [], [], [], []
+    off = 0
+    for slot, m in zip(slot_list, molecule_list):
+        feats.append(np.asarray(m.node_feat, np.float32))
+        srcs.append(np.asarray(m.src, np.int64) + off)
+        dsts.append(np.asarray(m.dst, np.int64) + off)
+        gids.append(np.full(m.num_nodes, slot, np.int32))
+        nnodes.append((slot, m.num_nodes))
+        off += m.num_nodes
+    if off == 0:
+        s = d = np.zeros(0, np.int64)
+        w = np.zeros(0, np.float32)
+    else:
+        s, d, w = _build_sorted(
+            np.concatenate(srcs), np.concatenate(dsts), off,
+            normalize, add_self_loops,
+        )
+    n_per = np.zeros(num_slots, np.float32)
+    for slot, nn in nnodes:
+        n_per[slot] = nn
+    return dict(
+        feat=(np.concatenate(feats) if feats
+              else np.zeros((0, feat_dim), np.float32)),
+        gids=np.concatenate(gids) if gids else np.zeros(0, np.int32),
+        nnodes=n_per,
+        src=s, dst=d, w=w, total_nodes=off,
+    )
+
+
+def _stack_unions(shards, B):
     from bignn_tpu.sparse.formats import PaddedGraphBatch
 
-    G, B = plan.n_shards, plan.node_block
-    n = len(molecules)
-    feat_dim = molecules[0].node_feat.shape[1]
-
-    shards = []
-    for g in range(G):
-        mols = molecules[g * B : min((g + 1) * B, n)]
-        feats, srcs, dsts, gids, nnodes = [], [], [], [], []
-        off = 0
-        for li, m in enumerate(mols):
-            feats.append(np.asarray(m.node_feat, np.float32))
-            srcs.append(np.asarray(m.src, np.int64) + off)
-            dsts.append(np.asarray(m.dst, np.int64) + off)
-            gids.append(np.full(m.num_nodes, li, np.int32))
-            nnodes.append(m.num_nodes)
-            off += m.num_nodes
-        s, d, w = _build_sorted(
-            np.concatenate(srcs) if srcs else np.zeros(0, np.int64),
-            np.concatenate(dsts) if dsts else np.zeros(0, np.int64),
-            off, normalize, add_self_loops,
-        )
-        shards.append(dict(
-            feat=np.concatenate(feats) if feats else np.zeros((0, feat_dim), np.float32),
-            gids=np.concatenate(gids) if gids else np.zeros(0, np.int32),
-            nnodes=np.asarray(nnodes, np.float32),
-            src=s, dst=d, w=w, total_nodes=off,
-        ))
-
-    node_cap = _round_up(max(sh["total_nodes"] for sh in shards), 8)
+    node_cap = _round_up(max(max(sh["total_nodes"] for sh in shards), 8), 8)
     edge_cap = _round_up(max(max(len(sh["src"]) for sh in shards), 128), 128)
 
     def pad(x, cap, fill):
@@ -145,9 +160,9 @@ def build_sharded_inner(
         fields["node_mask"].append(pad(np.ones(tn, np.float32), node_cap, 0.0))
         fields["edge_src"].append(pad(sh["src"].astype(np.int32), edge_cap, 0))
         fields["edge_dst"].append(pad(sh["dst"].astype(np.int32), edge_cap, node_cap))
-        fields["edge_weight"].append(pad(sh["w"], edge_cap, 0.0))
+        fields["edge_weight"].append(pad(sh["w"].astype(np.float32), edge_cap, 0.0))
         fields["graph_ids"].append(pad(sh["gids"], node_cap, B))
-        fields["graph_n_nodes"].append(pad(sh["nnodes"], B, 0.0))
+        fields["graph_n_nodes"].append(sh["nnodes"])
 
     return PaddedGraphBatch(
         **{k: np.stack(v) for k, v in fields.items()},
@@ -155,6 +170,65 @@ def build_sharded_inner(
         node_cap=node_cap,
         edge_cap=edge_cap,
     )
+
+
+def build_sharded_inner(
+    molecules,
+    plan: OuterPartitionPlan,
+    *,
+    normalize: bool = True,
+    add_self_loops: bool = True,
+    split_boundary: bool = False,
+):
+    """Per-shard padded molecule unions, stacked on a leading G axis.
+
+    Shard g encodes the molecules of its owned drugs [g*B, (g+1)*B); the
+    readout's graph ids are *local* drug slots so the inner level needs no
+    communication at all. All shards share identical caps (max over shards,
+    128-aligned edges) so the stack feeds straight through shard_map.
+
+    With ``split_boundary`` (the overlap path, BASELINE.json:5,11) returns
+    TWO stacked batches ``(boundary, interior)``: boundary drugs encode
+    first so their embeddings can enter the halo all-to-all while interior
+    molecules are still aggregating. Each drug is in exactly one union and
+    keeps its local slot as graph id, so the two readouts merge by addition.
+    """
+    G, B = plan.n_shards, plan.node_block
+    n = len(molecules)
+    feat_dim = molecules[0].node_feat.shape[1]
+    bnd = boundary_drugs(plan) if split_boundary else None
+
+    def owned(g):
+        lo = g * B
+        hi = min((g + 1) * B, n)
+        return list(range(lo, hi))
+
+    if not split_boundary:
+        shards = []
+        for g in range(G):
+            ids = owned(g)
+            shards.append(_pack_union(
+                [molecules[i] for i in ids],
+                [i - g * B for i in ids],
+                B, feat_dim, normalize, add_self_loops,
+            ))
+        return _stack_unions(shards, B)
+
+    bnd_shards, int_shards = [], []
+    for g in range(G):
+        ids = owned(g)
+        bset = {s for s in bnd[g] if s < len(ids)}
+        b_ids = [g * B + s for s in sorted(bset)]
+        i_ids = [i for i in ids if (i - g * B) not in bset]
+        bnd_shards.append(_pack_union(
+            [molecules[i] for i in b_ids], [i - g * B for i in b_ids],
+            B, feat_dim, normalize, add_self_loops,
+        ))
+        int_shards.append(_pack_union(
+            [molecules[i] for i in i_ids], [i - g * B for i in i_ids],
+            B, feat_dim, normalize, add_self_loops,
+        ))
+    return _stack_unions(bnd_shards, B), _stack_unions(int_shards, B)
 
 
 def build_outer_partition(
@@ -211,11 +285,13 @@ def build_outer_partition(
     edge_src = np.zeros((n_shards, edge_cap), np.int32)
     edge_dst = np.full((n_shards, edge_cap), B, np.int32)
     edge_w = np.zeros((n_shards, edge_cap), np.float32)
+    per_shard = []
     for g in range(n_shards):
         mask = owner_d == g
         sg, dg, wg = s[mask], d[mask], w[mask]
+        is_local = sg // B == g
         src_l = np.where(
-            sg // B == g,
+            is_local,
             sg - g * B,
             np.array([slot_of[g].get(int(x), 0) for x in sg], np.int64),
         )
@@ -223,6 +299,29 @@ def build_outer_partition(
         edge_src[g, :n_e] = src_l
         edge_dst[g, :n_e] = dg - g * B
         edge_w[g, :n_e] = wg
+        per_shard.append((src_l, dg - g * B, wg, is_local))
+
+    # --- overlap split: local-src vs halo-src edge lists (both dst-sorted,
+    # order preserved from the globally sorted slice)
+    loc_cap = max(_round_up(max(int(p[3].sum()) for p in per_shard), 128), 128)
+    rem_cap = max(
+        _round_up(max(int((~p[3]).sum()) for p in per_shard), 128), 128
+    )
+    local_src = np.zeros((n_shards, loc_cap), np.int32)
+    local_dst = np.full((n_shards, loc_cap), B, np.int32)
+    local_w = np.zeros((n_shards, loc_cap), np.float32)
+    remote_src = np.zeros((n_shards, rem_cap), np.int32)
+    remote_dst = np.full((n_shards, rem_cap), B, np.int32)
+    remote_w = np.zeros((n_shards, rem_cap), np.float32)
+    for g, (src_l, dst_l, wg, is_local) in enumerate(per_shard):
+        nl = int(is_local.sum())
+        nr = len(src_l) - nl
+        local_src[g, :nl] = src_l[is_local]
+        local_dst[g, :nl] = dst_l[is_local]
+        local_w[g, :nl] = wg[is_local]
+        remote_src[g, :nr] = src_l[~is_local]
+        remote_dst[g, :nr] = dst_l[~is_local]
+        remote_w[g, :nr] = wg[~is_local]
 
     return OuterPartitionPlan(
         num_nodes=num_nodes,
@@ -234,4 +333,10 @@ def build_outer_partition(
         edge_src=edge_src,
         edge_dst=edge_dst,
         edge_weight=edge_w,
+        local_src=local_src,
+        local_dst=local_dst,
+        local_weight=local_w,
+        remote_src=remote_src,
+        remote_dst=remote_dst,
+        remote_weight=remote_w,
     )

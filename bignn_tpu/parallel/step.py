@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bignn_tpu.data.sampler import sample_negative_pairs
 from bignn_tpu.models.bignn import BiGNN
-from bignn_tpu.parallel.halo import dist_outer_forward
+from bignn_tpu.parallel.halo import dist_outer_forward, p2_overlap_forward
 from bignn_tpu.parallel.partition import OuterPartitionPlan
 
 
@@ -35,6 +35,7 @@ def make_p2_train_step(
     mesh: Mesh,
     num_drugs: int,
     neg_ratio: int = 1,
+    overlap: bool = False,
 ) -> Callable:
     """Build the jit'd dp x graph train step.
 
@@ -50,11 +51,20 @@ def make_p2_train_step(
     """
     def shard_loss(params, pairs, labels, mask, inner_batch, esrc, edst, ew, sidx):
         # strip the leading per-shard axis kept by shard_map
-        batch = jax.tree.map(lambda x: x[0], inner_batch)
-        h_local = model.encode_inner(params, batch)  # [B, d]
-        h_local = dist_outer_forward(
-            model, params, h_local, esrc[0], edst[0], ew[0], sidx[0]
-        )
+        if overlap:
+            bnd, interior = inner_batch
+            h_local = p2_overlap_forward(
+                model, params,
+                jax.tree.map(lambda x: x[0], bnd),
+                jax.tree.map(lambda x: x[0], interior),
+                esrc[0], edst[0], ew[0], sidx[0],
+            )
+        else:
+            batch = jax.tree.map(lambda x: x[0], inner_batch)
+            h_local = model.encode_inner(params, batch)  # [B, d]
+            h_local = dist_outer_forward(
+                model, params, h_local, esrc[0], edst[0], ew[0], sidx[0]
+            )
         emb = jax.lax.all_gather(h_local, "graph", tiled=True)  # [G*B, d]
         logits = model.score_pairs(params, emb, pairs).astype(jnp.float32)
         per = (jnp.maximum(logits, 0.0) - logits * labels

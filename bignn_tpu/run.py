@@ -26,6 +26,8 @@ def main(argv=None) -> dict:
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="epochs between checkpoints (0 = off)")
     p.add_argument("--graph-shards", type=int, default=None)
+    p.add_argument("--overlap", action="store_true",
+                   help="p2 mode: overlap halo exchange with inner aggregation")
     p.add_argument("--profile", default=None, help="jax profiler trace dir")
     p.add_argument("--backend", default=None,
                    choices=["auto", "xla", "pallas", "pallas_interpret"])
@@ -73,7 +75,7 @@ def main(argv=None) -> dict:
             trainer = MinibatchTrainer(model, ds, cfg.train, fanouts=cfg.fanouts)
             params, result = trainer.fit(log_fn=logger)
         elif cfg.mode == "p2":
-            result = _run_p2(model, ds, cfg, logger)
+            result = _run_p2(model, ds, cfg, logger, overlap=args.overlap)
             params = None
         else:
             data = prepare_device_data(ds, max_buckets=cfg.max_buckets)
@@ -93,7 +95,7 @@ def main(argv=None) -> dict:
     return result
 
 
-def _run_p2(model, ds, cfg, logger):
+def _run_p2(model, ds, cfg, logger, overlap: bool = False):
     """Distributed (edge-partitioned) training loop — config #5."""
     import jax
     import jax.numpy as jnp
@@ -120,12 +122,12 @@ def _run_p2(model, ds, cfg, logger):
         train_edges[:, 0], train_edges[:, 1], ds.num_drugs, graph
     )
     logger.log({"event": "partition", **{k: str(v) for k, v in plan.stats().items()}})
-    inner = build_sharded_inner(ds.molecules, plan)
+    inner = build_sharded_inner(ds.molecules, plan, split_boundary=overlap)
     optimizer = optax.adam(cfg.train.lr)
     params = model.init(jax.random.key(cfg.train.seed))
     opt_state = optimizer.init(params)
     step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs,
-                              cfg.train.neg_ratio)
+                              cfg.train.neg_ratio, overlap=overlap)
     inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
 
     sampler = EdgeMinibatchSampler(train_edges.astype(np.int32),
