@@ -29,6 +29,10 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=2048)
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "xla", "pallas"])
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--dim", type=int, default=64,
+                        help="model hidden dim (128 = native TPU lane width)")
     args = parser.parse_args()
 
     import jax
@@ -50,9 +54,15 @@ def main() -> None:
     }
     spec = dict(presets[args.preset])
     name = spec.pop("name")
+    import dataclasses
+
     ds = load_dataset(name, **spec)
     data = prepare_device_data(ds, max_buckets=4)
-    model = BiGNN(BiGNNConfig.full_bignn(feat_dim=ds.feat_dim, dim=64, heads=4))
+    model_cfg = dataclasses.replace(
+        BiGNNConfig.full_bignn(feat_dim=ds.feat_dim, dim=args.dim, heads=4),
+        dtype=args.dtype,
+    )
+    model = BiGNN(model_cfg)
     trainer = Trainer(
         model, data, TrainConfig(lr=1e-3, epochs=1, batch_size=args.batch)
     )

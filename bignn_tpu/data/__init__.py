@@ -15,6 +15,11 @@ from bignn_tpu.data.sampler import (
     EdgeMinibatchSampler,
 )
 from bignn_tpu.data.hierarchical import HierarchicalBatch, HierarchicalSampler
+from bignn_tpu.data.molecules import (
+    smiles_to_graph,
+    build_dataset_from_smiles,
+    parse_smiles,
+)
 
 __all__ = [
     "DDIDataset",
@@ -27,4 +32,7 @@ __all__ = [
     "EdgeMinibatchSampler",
     "HierarchicalBatch",
     "HierarchicalSampler",
+    "smiles_to_graph",
+    "build_dataset_from_smiles",
+    "parse_smiles",
 ]

@@ -47,9 +47,11 @@ class GCNConv:
         }
 
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes):
-        h = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+        h = jnp.dot(
+            x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
         agg = spmm_sorted_coo(h, edge_src, edge_dst, edge_weight, num_nodes)
-        return parse_activation(self.activation)(agg + params["b"])
+        return parse_activation(self.activation)(agg + params["b"]).astype(x.dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,17 +120,19 @@ class GATConv:
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes):
         del edge_weight  # attention replaces fixed normalization
         H, D = self.heads, self.head_dim
-        h = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+        h = jnp.dot(
+            x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
         hh = h.reshape(-1, H, D)
         score_l = jnp.sum(hh * params["a_l"], axis=-1)  # [N, H] (dst part)
         score_r = jnp.sum(hh * params["a_r"], axis=-1)  # [N, H] (src part)
         e = gather_rows(score_l, edge_dst) + gather_rows(score_r, edge_src)
         e = jax.nn.leaky_relu(e, self.negative_slope)  # [E, H]
         alpha = segment_softmax(e, edge_dst, num_nodes)  # [E, H]
-        agg = spmm_multihead(hh, edge_src, edge_dst, alpha, num_nodes)
+        agg = spmm_multihead(hh, edge_src, edge_dst, alpha.astype(x.dtype), num_nodes)
         return parse_activation(self.activation)(
             agg.reshape(-1, H * D) + params["b"]
-        )
+        ).astype(x.dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,15 +169,20 @@ class DotAttnConv:
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes):
         del edge_weight
         H, D = self.heads, self.head_dim
-        q = jnp.dot(x, params["wq"], preferred_element_type=jnp.float32).reshape(-1, H, D)
-        k = jnp.dot(x, params["wk"], preferred_element_type=jnp.float32).reshape(-1, H, D)
-        v = jnp.dot(x, params["wv"], preferred_element_type=jnp.float32).reshape(-1, H, D)
+        def _proj(w):
+            return jnp.dot(
+                x, w.astype(x.dtype), preferred_element_type=jnp.float32
+            ).astype(x.dtype).reshape(-1, H, D)
+
+        q = _proj(params["wq"])
+        k = _proj(params["wk"])
+        v = _proj(params["wv"])
         e = sddmm(q, k, edge_src, edge_dst) / jnp.sqrt(jnp.float32(D))  # [E, H]
         alpha = segment_softmax(e, edge_dst, num_nodes)
-        agg = spmm_multihead(v, edge_src, edge_dst, alpha, num_nodes)
+        agg = spmm_multihead(v, edge_src, edge_dst, alpha.astype(x.dtype), num_nodes)
         return parse_activation(self.activation)(
             agg.reshape(-1, H * D) + params["b"]
-        )
+        ).astype(x.dtype)
 
 
 def parse_conv(spec: str, in_dim: int):

@@ -56,10 +56,13 @@ class Dense:
         return params
 
     def apply(self, params: dict, x: jax.Array) -> jax.Array:
-        y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+        # f32 accumulation on the MXU, result back in the compute dtype
+        y = jnp.dot(
+            x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32
+        )
         if self.use_bias:
             y = y + params["b"]
-        return parse_activation(self.activation)(y)
+        return parse_activation(self.activation)(y).astype(x.dtype)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,5 +40,5 @@ def spmm_sorted_coo(
         )
     msgs = gather_rows(x, src)
     if weight is not None:
-        msgs = msgs * weight[:, None]
+        msgs = msgs * weight[:, None].astype(msgs.dtype)
     return segment_sum(msgs, dst, num_out, backend="xla")

@@ -34,15 +34,23 @@ def halo_exchange(
     h_local: jax.Array,  # [B, F] owned rows
     send_idx: jax.Array,  # [G, S] local ids to send to each peer
     axis_name: str = "graph",
+    impl: str = "lax",  # "lax" (XLA collective) | "pallas" (ICI remote DMA)
 ) -> jax.Array:
     """Return the extended array [B + G*S, F]: owned rows ++ received halos.
 
     Row B + h*S + k holds slot k received from shard h, matching the ext-id
-    remapping baked into the plan's edge_src.
+    remapping baked into the plan's edge_src. ``impl="pallas"`` routes the
+    wire step through the remote-DMA kernel (ops/pallas/collectives.py).
     """
     sendbuf = jnp.take(h_local, send_idx, axis=0, mode="clip")  # [G, S, F]
-    recv = jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
-    g, s, f = recv.shape
+    g = send_idx.shape[0]
+    if impl == "pallas":
+        from bignn_tpu.ops.pallas.collectives import all_to_all_pallas
+
+        recv = all_to_all_pallas(sendbuf, axis_name, g)
+    else:
+        recv = jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
+    _, s, f = recv.shape
     return jnp.concatenate([h_local, recv.reshape(g * s, f)], axis=0)
 
 

@@ -116,6 +116,44 @@ def make_p2_train_step(
     return step
 
 
+def make_p2_score_fn(
+    model: BiGNN,
+    mesh: Mesh,
+    overlap: bool = False,
+) -> Callable:
+    """Distributed scorer for evaluation: (params, pairs, inner_batch,
+    esrc, edst, ew, sidx) -> logits for dp-sharded global pairs."""
+
+    def shard_score(params, pairs, inner_batch, esrc, edst, ew, sidx):
+        if overlap:
+            bnd, interior = inner_batch
+            h_local = p2_overlap_forward(
+                model, params,
+                jax.tree.map(lambda x: x[0], bnd),
+                jax.tree.map(lambda x: x[0], interior),
+                esrc[0], edst[0], ew[0], sidx[0],
+            )
+        else:
+            batch = jax.tree.map(lambda x: x[0], inner_batch)
+            h_local = model.encode_inner(params, batch)
+            h_local = dist_outer_forward(
+                model, params, h_local, esrc[0], edst[0], ew[0], sidx[0]
+            )
+        emb = jax.lax.all_gather(h_local, "graph", tiled=True)
+        logits = model.score_pairs(params, emb, pairs)
+        # numerically a no-op (each graph shard scores the same gathered
+        # embeddings); makes replication over 'graph' provable
+        return jax.lax.pmean(logits, "graph")
+
+    return jax.jit(jax.shard_map(
+        shard_score,
+        mesh=mesh,
+        in_specs=(P(), P("dp", None), P("graph"),
+                  P("graph"), P("graph"), P("graph"), P("graph")),
+        out_specs=P("dp"),
+    ))
+
+
 def device_put_plan(mesh: Mesh, plan: OuterPartitionPlan, inner_batch):
     """Place the stacked plan arrays on the 'graph' axis, replicated on dp."""
     gspec = NamedSharding(mesh, P("graph"))

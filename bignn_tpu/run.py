@@ -110,6 +110,8 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False):
         make_mesh,
         make_p2_train_step,
     )
+    from bignn_tpu.parallel.step import make_p2_score_fn
+    from bignn_tpu.train.metrics import average_precision, roc_auc
 
     n_dev = len(jax.devices())
     graph = min(cfg.graph_shards, n_dev)
@@ -133,9 +135,29 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False):
     sampler = EdgeMinibatchSampler(train_edges.astype(np.int32),
                                    cfg.train.batch_size, cfg.train.seed)
     key = jax.random.key(cfg.train.seed + 1)
+    score_fn = make_p2_score_fn(model, mesh, overlap=overlap)
+    dp_pad = dp  # eval pair count must divide the dp axis
+
+    def evaluate(split):
+        from bignn_tpu.data.sampler import sample_negative_pairs
+
+        pos = jnp.asarray(ds.split_edges(split).astype(np.int32))
+        neg = sample_negative_pairs(jax.random.key(1234), pos, ds.num_drugs, 1)
+        pairs = np.concatenate([np.asarray(pos), np.asarray(neg)])
+        labels = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
+        pad = (-len(pairs)) % dp_pad
+        pairs_p = np.concatenate([pairs, np.zeros((pad, 2), np.int32)])
+        scores = np.asarray(score_fn(
+            params, jnp.asarray(pairs_p, jnp.int32),
+            inner_d, esrc, edst, ew, sidx,
+        ))[: len(pairs)]
+        return {f"{split}_auc": roc_auc(labels, scores),
+                f"{split}_ap": average_precision(labels, scores)}
+
     import time as _time
 
     history = []
+    best = {"val_auc": -1.0, "epoch": -1}
     with mesh:
         for epoch in range(cfg.train.epochs):
             t0 = _time.perf_counter()
@@ -149,9 +171,15 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False):
                 losses.append(loss)
             rec = {"epoch": epoch, "loss": float(jnp.mean(jnp.stack(losses))),
                    "epoch_time_s": _time.perf_counter() - t0}
+            if (epoch + 1) % cfg.train.eval_every == 0 or epoch == cfg.train.epochs - 1:
+                rec.update(evaluate("val"))
+                if rec["val_auc"] > best["val_auc"]:
+                    best = {"val_auc": rec["val_auc"], "epoch": epoch}
             history.append(rec)
             logger.log(rec)
-    return {"history": history, "final_loss": history[-1]["loss"]}
+        final = evaluate("test")
+    return {"history": history, "final_loss": history[-1]["loss"],
+            "best_epoch": best["epoch"], **final}
 
 
 if __name__ == "__main__":

@@ -90,17 +90,30 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         return params, opt_state
 
-    def evaluate(self, params, split: str = "val", neg_seed: int = 1234) -> dict:
-        """Score held-out positives + an equal number of sampled negatives;
-        host AUC/AP (SURVEY.md §3.3)."""
+    def evaluate(self, params, split: str = "val", neg_seed: int = 1234,
+                 on_device: bool = False) -> dict:
+        """Score held-out positives + an equal number of sampled negatives
+        (SURVEY.md §3.3). ``on_device=True`` computes sort-based AUC/AP in
+        jnp without funneling scores to the host — the at-scale path
+        (SURVEY.md §7 "AUC/AP at scale"); the default uses the exact
+        tie-aware host implementation."""
         pos = {"val": self.data.val_pairs, "test": self.data.test_pairs,
                "train": self.data.train_pairs}[split]
         pos = jnp.asarray(pos)
         key = jax.random.key(neg_seed)
         neg = sample_negative_pairs(key, pos, self.data.num_drugs, 1)
         pairs = jnp.concatenate([pos, neg], axis=0)
-        scores = np.asarray(self._score_pairs(params, pairs))
+        scores_dev = self._score_pairs(params, pairs)
         labels = np.concatenate([np.ones(pos.shape[0]), np.zeros(neg.shape[0])])
+        if on_device:
+            from bignn_tpu.train.metrics import average_precision_jnp, roc_auc_jnp
+
+            lab = jnp.asarray(labels)
+            return {
+                f"{split}_auc": float(roc_auc_jnp(lab, scores_dev)),
+                f"{split}_ap": float(average_precision_jnp(lab, scores_dev)),
+            }
+        scores = np.asarray(scores_dev)
         return {
             f"{split}_auc": roc_auc(labels, scores),
             f"{split}_ap": average_precision(labels, scores),

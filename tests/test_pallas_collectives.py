@@ -1,0 +1,55 @@
+"""Pallas ICI all-to-all (ops/pallas/collectives.py).
+
+The environment exposes ONE real TPU chip (SURVEY.md §6), so full multi-chip
+parity runs only where >= 2 TPU devices exist; CI covers the degenerate
+axis_size=1 path in interpret mode (which still traces the remote-DMA ops)
+and the logic is additionally exercised on the single real chip by
+scripts/validate_tpu.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from bignn_tpu.ops.pallas.collectives import all_to_all_pallas
+
+
+def test_degenerate_single_device_interpret():
+    mesh = Mesh(np.array(jax.devices()[:1]), ("graph",))
+    x = jnp.arange(1 * 8 * 128, dtype=jnp.float32).reshape(1, 8, 128)
+
+    def f(x):
+        return all_to_all_pallas(x, "graph", 1, interpret=True)
+
+    out = jax.jit(
+        jax.shard_map(f, mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False)
+    )(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x))
+
+
+@pytest.mark.skipif(
+    sum(d.platform in ("tpu", "axon") for d in jax.devices()) < 2,
+    reason="needs >= 2 TPU devices for remote DMA",
+)
+def test_multichip_matches_lax_all_to_all():
+    n = sum(d.platform in ("tpu", "axon") for d in jax.devices())
+    devs = [d for d in jax.devices() if d.platform in ("tpu", "axon")][:n]
+    mesh = Mesh(np.array(devs), ("graph",))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, n, 8, 128)).astype(np.float32))
+
+    def f_pallas(x):
+        return all_to_all_pallas(x[0], "graph", n)[None]
+
+    def f_lax(x):
+        return jax.lax.all_to_all(x[0], "graph", split_axis=0, concat_axis=0)[None]
+
+    run = lambda f: jax.jit(
+        jax.shard_map(f, mesh=mesh, in_specs=P("graph"), out_specs=P("graph"),
+                      check_vma=False)
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(run(f_pallas)), np.asarray(run(f_lax)), atol=1e-6
+    )
