@@ -271,10 +271,15 @@ def segment_softmax_pallas(
     squeeze = scores.ndim == 1
     if squeeze:
         scores = scores[:, None]
+    # XLA segment-max for the shift: measured faster in-context than the
+    # transposed Pallas max at model scale (the transpose relayout costs more
+    # than the scatter-max saves at E~300K, H<=8); softmax is shift-invariant
+    # so stop_gradient removes the entire max backward pass either way.
     seg_max = jax.ops.segment_max(
-        scores, segment_ids, num_segments=num_segments, indices_are_sorted=True
+        jax.lax.stop_gradient(scores), segment_ids,
+        num_segments=num_segments, indices_are_sorted=True,
     )
-    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    seg_max = jax.lax.stop_gradient(jnp.where(jnp.isfinite(seg_max), seg_max, 0.0))
     shifted = scores - jnp.take(seg_max, segment_ids, axis=0, mode="clip")
     # out-of-range (padding) rows get exp(-inf) = 0 -> defined zero output
     in_range = (segment_ids < num_segments)[:, None]
@@ -282,3 +287,187 @@ def segment_softmax_pallas(
     denom = segment_sum_pallas(expd, segment_ids, num_segments, interpret=interpret)
     out = expd / jnp.maximum(jnp.take(denom, segment_ids, axis=0, mode="clip"), 1e-16)
     return out[:, 0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# segment_max (transposed layout: scores travel as [H, E], lanes = edges)
+# ---------------------------------------------------------------------------
+
+
+def _segment_max_kernel(
+    starts_ref,  # [G+1] int32 scalar prefetch
+    scores_ref,  # [H, E] HBM (transposed)
+    seg_ref,  # [1, E] int32 HBM
+    out_ref,  # [BR, H] VMEM
+    score_buf,  # [2, H, BE] VMEM
+    seg_buf,  # [2, 1, BE] int32 VMEM
+    score_sem,
+    seg_sem,
+    *,
+    block_rows: int,
+    block_edges: int,
+    num_edges: int,
+    heads: int,
+):
+    i = pl.program_id(0)
+    e0 = starts_ref[i]
+    e1 = starts_ref[i + 1]
+    e0_al = (e0 // 128) * 128
+    n_chunks = pl.cdiv(e1 - e0_al, block_edges)
+    row0 = i * block_rows
+    max_start = num_edges - block_edges
+    neg = jnp.float32(-3.0e38)
+
+    def chunk_dma(slot, c):
+        intended = e0_al + c * block_edges
+        s = jnp.minimum(intended, max_start)
+        s = pl.multiple_of(s, 128)
+        return (
+            pltpu.make_async_copy(
+                scores_ref.at[:, pl.ds(s, block_edges)],
+                score_buf.at[slot],
+                score_sem.at[slot],
+            ),
+            pltpu.make_async_copy(
+                seg_ref.at[:, pl.ds(s, block_edges)],
+                seg_buf.at[slot],
+                seg_sem.at[slot],
+            ),
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for d in chunk_dma(0, 0):
+            d.start()
+
+    def body(c, acc):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            for d in chunk_dma(jax.lax.rem(c + 1, 2), c + 1):
+                d.start()
+
+        for d in chunk_dma(slot, c):
+            d.wait()
+
+        intended = e0_al + c * block_edges
+        s = jnp.minimum(intended, max_start)
+        shift = intended - s
+        seg = seg_buf[slot]  # [1, BE]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, block_edges), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block_rows, block_edges), 1)
+        oh = (seg - row0 == rows) & (lanes >= shift)  # [BR, BE] bool
+        cols = []
+        for h in range(heads):
+            sc_h = score_buf[slot][h, :].astype(jnp.float32).reshape(1, block_edges)
+            masked = jnp.where(oh, sc_h, neg)
+            cols.append(jnp.max(masked, axis=1, keepdims=True))  # [BR, 1]
+        return jnp.maximum(acc, jnp.concatenate(cols, axis=1))
+
+    acc = jnp.full((block_rows, heads), neg, jnp.float32)
+    acc = jax.lax.fori_loop(0, n_chunks, body, acc)
+    # empty segments -> 0 (matches ops.segment.segment_max contract)
+    out_ref[:] = jnp.where(acc <= neg * 0.5, 0.0, acc).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_segments", "block_rows", "block_edges", "interpret")
+)
+def segment_max_pallas(
+    scores: jax.Array,  # [E] or [E, H]
+    segment_ids: jax.Array,
+    num_segments: int,
+    *,
+    block_rows: int = 128,
+    block_edges: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Sorted segment max; empty segments give 0. Scatter-free: scores are
+    transposed to [H, E] so edge chunks slice the (128-aligned) lane axis —
+    no lane-padding of small head dims, no scatter-max HLO."""
+    squeeze = scores.ndim == 1
+    if squeeze:
+        scores = scores[:, None]
+    e, h = scores.shape
+    n_pad = _round_up(num_segments, block_rows)
+    grid = n_pad // block_rows
+    e_pad = _round_up(e, 128)
+    block_edges = min(block_edges, e_pad)
+    scores_t = jnp.full((h, e_pad), -3.0e38, scores.dtype).at[:, :e].set(scores.T)
+    seg_p = jnp.full((e_pad,), n_pad, jnp.int32).at[:e].set(
+        jnp.minimum(segment_ids.astype(jnp.int32), n_pad)
+    )
+    block_bounds = jnp.arange(0, n_pad + 1, block_rows, dtype=jnp.int32)
+    starts = jnp.searchsorted(seg_p, block_bounds, side="left").astype(jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _segment_max_kernel,
+            block_rows=block_rows,
+            block_edges=block_edges,
+            num_edges=e_pad,
+            heads=h,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_rows, h), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, h, block_edges), scores.dtype),
+                pltpu.VMEM((2, 1, block_edges), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, h), scores.dtype),
+        interpret=interpret,
+    )(starts, scores_t, seg_p[None, :])
+    out = out[:num_segments]
+    return out[:, 0] if squeeze else out
+
+
+def segment_max_pallas_vjp(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable segment max (cotangent split evenly among ties)."""
+    return _segment_max_diff(data, segment_ids, num_segments, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _segment_max_diff(data, segment_ids, num_segments, interpret):
+    return segment_max_pallas(data, segment_ids, num_segments, interpret=interpret)
+
+
+def _segment_max_diff_fwd(data, segment_ids, num_segments, interpret):
+    out = segment_max_pallas(data, segment_ids, num_segments, interpret=interpret)
+    return out, (data, segment_ids, out)
+
+
+def _segment_max_diff_bwd(num_segments, interpret, res, g):
+    data, segment_ids, out = res
+    squeeze = data.ndim == 1
+    d2 = data[:, None] if squeeze else data
+    o2 = out[:, None] if out.ndim == 1 else out
+    g2 = g[:, None] if g.ndim == 1 else g
+    in_range = (segment_ids < num_segments)[:, None]
+    is_max = in_range & (d2 == jnp.take(o2, segment_ids, axis=0, mode="clip"))
+    cnt = segment_sum_pallas(
+        is_max.astype(jnp.float32), segment_ids, num_segments, interpret=interpret
+    )
+    share = jnp.take(g2 / jnp.maximum(cnt, 1.0), segment_ids, axis=0, mode="clip")
+    d_data = jnp.where(is_max, share, 0.0)
+    return (d_data[:, 0] if squeeze else d_data, None)
+
+
+_segment_max_diff.defvjp(_segment_max_diff_fwd, _segment_max_diff_bwd)

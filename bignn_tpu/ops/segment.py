@@ -59,7 +59,13 @@ def segment_max(
     backend: str | None = None,
 ) -> jax.Array:
     """Max over segments; empty segments yield 0 (not -inf)."""
-    del backend  # max is cheap; XLA path only for now
+    b = get_backend(backend)
+    if b in ("pallas", "pallas_interpret"):
+        from bignn_tpu.ops.pallas.segment import segment_max_pallas_vjp
+
+        return segment_max_pallas_vjp(
+            data, segment_ids, num_segments, interpret=(b == "pallas_interpret")
+        )
     out = jax.ops.segment_max(
         data, segment_ids, num_segments=num_segments, indices_are_sorted=True
     )
@@ -91,6 +97,9 @@ def segment_softmax(
         scores, segment_ids, num_segments=num_segments, indices_are_sorted=True
     )
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    # softmax is shift-invariant: the max shift carries zero gradient, so
+    # stop it and skip the scatter-heavy max backward entirely
+    seg_max = jax.lax.stop_gradient(seg_max)
     # clip gathers for padding ids; their rows are dropped later anyway
     shifted = scores - jnp.take(seg_max, segment_ids, axis=0, mode="clip")
     expd = jnp.exp(shifted)
