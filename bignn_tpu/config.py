@@ -21,8 +21,9 @@ class ExperimentConfig:
     dataset_kwargs: dict
     model: BiGNNConfig
     train: TrainConfig
-    mode: str = "full"  # "full" | "minibatch"
+    mode: str = "full"  # "full" | "minibatch" | "p2"
     fanouts: tuple[int, ...] = (10,)
+    max_drugs: int | None = None  # minibatch drug budget cap
     max_buckets: int = 4
     # distribution (used by run.py when the mesh has >1 device)
     dp: int | None = None
@@ -71,6 +72,7 @@ def get_config(name: str, **overrides) -> ExperimentConfig:
             train=TrainConfig(lr=1e-3, epochs=5, batch_size=1024),
             mode="minibatch",
             fanouts=(10, 5),
+            max_drugs=16384,
         ),
         # 5: edge-partitioned outer graph across a pod slice (halo a2a)
         "config5": ExperimentConfig(

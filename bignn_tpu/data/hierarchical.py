@@ -32,6 +32,14 @@ def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
 
 
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized)."""
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return out - np.repeat(offsets, counts)
+
+
 @struct.dataclass
 class HierarchicalBatch:
     """One step's sampled data; every field has static shape."""
@@ -67,7 +75,14 @@ class HierarchicalSampler:
         neg_ratio: int = 1,
         fanouts: tuple[int, ...] = (10,),
         seed: int = 0,
+        max_drugs: int | None = None,
     ):
+        """``max_drugs`` caps the per-batch drug budget (and with it every
+        derived cap); beyond it the BFS node list is truncated — seeds come
+        first, so scoring pairs are never dropped, only far neighbors. The
+        default (None) uses the worst-case fanout expansion, which saturates
+        at num_drugs for deep fanouts on large graphs — set a budget there
+        (config #4 does)."""
         self.ds = ds
         self.batch_size = batch_size
         self.neg_ratio = neg_ratio
@@ -85,6 +100,26 @@ class HierarchicalSampler:
         np.add.at(self._adj_ptr, u + 1, 1)
         self._adj_ptr = np.cumsum(self._adj_ptr)
         self.train_pairs = train
+
+        # pre-concatenated molecule arrays: per-batch unions become ragged
+        # gathers instead of per-molecule Python work (critical-path at
+        # config-#4 scale)
+        self._mol_ptr = np.cumsum(
+            [0] + [m.num_nodes for m in ds.molecules]
+        ).astype(np.int64)
+        self._mol_eptr = np.cumsum(
+            [0] + [m.num_edges for m in ds.molecules]
+        ).astype(np.int64)
+        self._all_feat = np.concatenate(
+            [m.node_feat for m in ds.molecules]
+        ).astype(np.float32)
+        # edge endpoints are molecule-local ids
+        self._all_src = np.concatenate(
+            [np.asarray(m.src, np.int64) for m in ds.molecules]
+        )
+        self._all_dst = np.concatenate(
+            [np.asarray(m.dst, np.int64) for m in ds.molecules]
+        )
         # global degrees for GCN weights (self-loops counted, matching
         # formats.gcn_normalize on the full train graph)
         deg = np.bincount(np.concatenate([u, np.arange(self.num_nodes)]),
@@ -100,7 +135,9 @@ class HierarchicalSampler:
             tree_edges += frontier * f
             frontier = frontier * f
             budget += frontier
-        self.drug_budget = min(budget, self.num_nodes)
+        if max_drugs is not None:
+            budget = min(budget, max_drugs)
+        self.drug_budget = max(min(budget, self.num_nodes), seeds)
         max_atoms = max(m.num_nodes for m in ds.molecules)
         max_bonds = max(m.num_edges for m in ds.molecules)
         self.node_cap = _round_up(self.drug_budget * max_atoms, 8)
@@ -113,27 +150,60 @@ class HierarchicalSampler:
 
     # ------------------------------------------------------------------
     def _sample_neighbors(self, seeds: np.ndarray):
-        """Per-hop fanout sampling; returns (nodes, edges (global u->v))."""
-        nodes = list(dict.fromkeys(seeds.tolist()))
-        seen = set(nodes)
+        """Per-hop fanout sampling; returns (nodes, edges (global u->v)).
+
+        Fully vectorized (no per-node Python loop — at config-#4 scale the
+        host sampler sits in the training step's critical path): each hop
+        draws ``fanout`` neighbors per frontier node with replacement when
+        the degree exceeds the fanout, and takes the whole neighborhood
+        otherwise (deduplicated via the canonical-pair dedup downstream).
+        """
+        rng = self._rng
+        nodes = np.unique(seeds)
+        seen = np.zeros(self.num_nodes, bool)
+        seen[nodes] = True
+        order = [nodes]
         frontier = nodes
-        es, ed = [], []
+        es_all, ed_all = [], []
         for fanout in self.fanouts:
-            nxt = []
-            for nvtx in frontier:
-                lo, hi = self._adj_ptr[nvtx], self._adj_ptr[nvtx + 1]
-                if hi == lo:
-                    continue
-                neigh = self._adj_dst[lo:hi]
-                if len(neigh) > fanout:
-                    neigh = self._rng.choice(neigh, fanout, replace=False)
-                for m in neigh:
-                    m = int(m)
-                    es.append(m); ed.append(nvtx)  # message m -> nvtx
-                    if m not in seen:
-                        seen.add(m); nxt.append(m); nodes.append(m)
-            frontier = nxt
-        return np.asarray(nodes, np.int64), np.asarray(es, np.int64), np.asarray(ed, np.int64)
+            if len(frontier) == 0:
+                break
+            lo = self._adj_ptr[frontier]
+            deg = self._adj_ptr[frontier + 1] - lo
+            has = deg > 0
+            f, lo_f, deg_f = frontier[has], lo[has], deg[has]
+            if len(f) == 0:
+                break
+            # small-degree nodes contribute full neighborhoods
+            small = deg_f <= fanout
+            es_parts, ed_parts = [], []
+            if small.any():
+                reps = deg_f[small].astype(np.int64)
+                ed_parts.append(np.repeat(f[small], reps))
+                idx = (
+                    np.repeat(lo_f[small], reps)
+                    + _ragged_arange(reps)
+                )
+                es_parts.append(self._adj_dst[idx].astype(np.int64))
+            big = ~small
+            if big.any():
+                nb = int(big.sum())
+                draw = rng.integers(0, deg_f[big][:, None], (nb, fanout))
+                idx = (lo_f[big][:, None] + draw).reshape(-1)
+                es_parts.append(self._adj_dst[idx].astype(np.int64))
+                ed_parts.append(np.repeat(f[big], fanout))
+            es = np.concatenate(es_parts)
+            ed = np.concatenate(ed_parts)
+            es_all.append(es)
+            ed_all.append(ed)
+            new = np.unique(es[~seen[es]])
+            seen[new] = True
+            order.append(new)
+            frontier = new
+        nodes_out = np.concatenate(order)
+        es = np.concatenate(es_all) if es_all else np.zeros(0, np.int64)
+        ed = np.concatenate(ed_all) if ed_all else np.zeros(0, np.int64)
+        return nodes_out, es, ed
 
     @property
     def pair_cap(self) -> int:
@@ -179,22 +249,23 @@ class HierarchicalSampler:
         nodes, es, ed = self._sample_neighbors(seeds)
         if len(nodes) > self.drug_budget:  # cap overflow: keep seeds first
             nodes = nodes[: self.drug_budget]
-        keep = set(nodes.tolist())
-        local = {g: i for i, g in enumerate(nodes)}
+        n_loc = len(nodes)
+        local_arr = np.full(self.num_nodes, -1, np.int64)
+        local_arr[nodes] = np.arange(n_loc)
 
         # outer subgraph edges (sampled tree, both directions, + self loops),
         # weights from global degrees. Deduplicate as undirected pairs first:
         # an edge collected from both endpoints' frontiers (or in two hops)
-        # must not aggregate twice.
-        em = {
-            (min(local[a], local[b]), max(local[a], local[b]))
-            for a, b in zip(es, ed)
-            if a in keep and b in keep and a != b
-        }
-        su = np.asarray([p[0] for p in em] + [p[1] for p in em]
-                        + list(range(len(nodes))), np.int64)
-        sv = np.asarray([p[1] for p in em] + [p[0] for p in em]
-                        + list(range(len(nodes))), np.int64)
+        # must not aggregate twice. Fully vectorized.
+        la, lb = local_arr[es], local_arr[ed]
+        ok = (la >= 0) & (lb >= 0) & (la != lb)
+        lo_p = np.minimum(la[ok], lb[ok])
+        hi_p = np.maximum(la[ok], lb[ok])
+        key = np.unique(lo_p * n_loc + hi_p)
+        p0, p1 = key // n_loc, key % n_loc
+        loops = np.arange(n_loc, dtype=np.int64)
+        su = np.concatenate([p0, p1, loops])
+        sv = np.concatenate([p1, p0, loops])
         gw = self._inv_sqrt_deg[nodes]
         w = gw[su] * gw[sv]
         order = np.argsort(sv, kind="stable")
@@ -203,20 +274,20 @@ class HierarchicalSampler:
         if len(su) > oe_cap:
             su, sv, w = su[:oe_cap], sv[:oe_cap], w[:oe_cap]
 
-        # molecule union of sampled drugs
-        feats, msrc, mdst, gids, nnodes = [], [], [], [], []
-        off = 0
-        for li, g in enumerate(nodes):
-            m: COOGraph = self.ds.molecules[g]
-            feats.append(m.node_feat)
-            msrc.append(np.asarray(m.src, np.int64) + off)
-            mdst.append(np.asarray(m.dst, np.int64) + off)
-            gids.append(np.full(m.num_nodes, li, np.int32))
-            nnodes.append(m.num_nodes)
-            off += m.num_nodes
-        ms, md, mw = _build_sorted(
-            np.concatenate(msrc), np.concatenate(mdst), off, True, True
-        )
+        # molecule union of sampled drugs (ragged gathers from the
+        # pre-concatenated arrays)
+        n_per = (self._mol_ptr[nodes + 1] - self._mol_ptr[nodes]).astype(np.int64)
+        node_rows = np.repeat(self._mol_ptr[nodes], n_per) + _ragged_arange(n_per)
+        feats = self._all_feat[node_rows]
+        gids_v = np.repeat(np.arange(n_loc, dtype=np.int32), n_per)
+        node_off = np.concatenate([[0], np.cumsum(n_per)[:-1]])
+        e_per = (self._mol_eptr[nodes + 1] - self._mol_eptr[nodes]).astype(np.int64)
+        edge_rows = np.repeat(self._mol_eptr[nodes], e_per) + _ragged_arange(e_per)
+        edge_off = np.repeat(node_off, e_per)
+        msrc = self._all_src[edge_rows] + edge_off
+        mdst = self._all_dst[edge_rows] + edge_off
+        off = int(n_per.sum())
+        ms, md, mw = _build_sorted(msrc, mdst, off, True, True)
 
         D, NC, EC = self.drug_budget, self.node_cap, self.edge_cap
 
@@ -225,22 +296,20 @@ class HierarchicalSampler:
             out[: len(x)] = x
             return out
 
-        pairs_local = np.asarray(
-            [[local.get(int(a), 0), local.get(int(b), 0)] for a, b in all_pairs],
-            np.int32,
-        )
-        # pairs whose endpoint fell off the truncated node list are masked out
-        valid = np.asarray(
-            [int(a) in keep and int(b) in keep for a, b in all_pairs], np.float32
-        )
+        pa = local_arr[all_pairs[:, 0]]
+        pb = local_arr[all_pairs[:, 1]]
+        valid = ((pa >= 0) & (pb >= 0)).astype(np.float32)
+        pairs_local = np.stack(
+            [np.maximum(pa, 0), np.maximum(pb, 0)], axis=1
+        ).astype(np.int32)
 
         return HierarchicalBatch(
-            node_feat=pad(np.concatenate(feats).astype(np.float32), NC, 0.0),
+            node_feat=pad(feats.astype(np.float32), NC, 0.0),
             edge_src=pad(ms.astype(np.int32), EC, 0),
             edge_dst=pad(md.astype(np.int32), EC, NC),
             edge_weight=pad(mw, EC, 0.0),
-            graph_ids=pad(np.concatenate(gids), NC, D),
-            graph_n_nodes=pad(np.asarray(nnodes, np.float32), D, 0.0),
+            graph_ids=pad(gids_v, NC, D),
+            graph_n_nodes=pad(n_per.astype(np.float32), D, 0.0),
             outer_src=pad(su.astype(np.int32), oe_cap, 0),
             outer_dst=pad(sv.astype(np.int32), oe_cap, D),
             outer_weight=pad(w, oe_cap, 0.0),

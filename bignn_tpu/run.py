@@ -72,7 +72,8 @@ def main(argv=None) -> dict:
 
     with profile_trace(args.profile):
         if cfg.mode == "minibatch":
-            trainer = MinibatchTrainer(model, ds, cfg.train, fanouts=cfg.fanouts)
+            trainer = MinibatchTrainer(model, ds, cfg.train, fanouts=cfg.fanouts,
+                                       max_drugs=cfg.max_drugs)
             params, result = trainer.fit(log_fn=logger)
         elif cfg.mode == "p2":
             result = _run_p2(model, ds, cfg, logger, overlap=args.overlap)

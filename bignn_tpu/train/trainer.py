@@ -173,6 +173,7 @@ class MinibatchTrainer:
         ds: DDIDataset,
         config: TrainConfig,
         fanouts: tuple[int, ...] = (10,),
+        max_drugs: int | None = None,
     ):
         self.model = model
         self.ds = ds
@@ -183,6 +184,7 @@ class MinibatchTrainer:
             neg_ratio=config.neg_ratio,
             fanouts=fanouts,
             seed=config.seed,
+            max_drugs=max_drugs,
         )
         self.optimizer = (
             optax.adamw(config.lr, weight_decay=config.weight_decay)

@@ -1,0 +1,93 @@
+"""Config #4 throughput run (BASELINE.json:10): large synthetic
+graph-of-graphs with neighbor sampling on a single v5e host.
+
+Defaults target the full spec (100K subgraphs, ~10M directed outer edges via
+avg_degree 200); override for smaller smoke runs. Reports sampled-subgraph
+train-step throughput: host sampling time, device step time, and aggregate
+edges/s (the per-step edge caps actually aggregated by the model).
+
+Usage: python scripts/bench_config4.py [--num-drugs 100000] [--steps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-drugs", type=int, default=100_000)
+    p.add_argument("--avg-degree", type=float, default=200.0)
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--fanouts", default="10,5")
+    p.add_argument("--max-drugs", type=int, default=16384)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--dim", type=int, default=128)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bignn_tpu.data import make_synthetic_ddi
+    from bignn_tpu.models import BiGNN, BiGNNConfig
+    from bignn_tpu.train import MinibatchTrainer, TrainConfig
+
+    t0 = time.perf_counter()
+    ds = make_synthetic_ddi(
+        num_drugs=args.num_drugs, feat_dim=32, avg_degree=args.avg_degree,
+        min_atoms=8, max_atoms=40, latent_dim=8, seed=0, name="config4",
+    )
+    print(f"dataset built in {time.perf_counter()-t0:.1f}s: {ds.stats()}",
+          flush=True)
+
+    fanouts = tuple(int(x) for x in args.fanouts.split(","))
+    model = BiGNN(BiGNNConfig.full_bignn(feat_dim=32, dim=args.dim, heads=4))
+    tr = MinibatchTrainer(
+        model, ds,
+        TrainConfig(lr=1e-3, epochs=1, batch_size=args.batch),
+        fanouts=fanouts, max_drugs=args.max_drugs,
+    )
+    s = tr.sampler
+    print(f"budget={s.drug_budget} node_cap={s.node_cap} edge_cap={s.edge_cap} "
+          f"outer_cap={s.outer_edge_cap}", flush=True)
+
+    params, opt_state = tr.init()
+    # warm up / compile
+    hb = s.sample()
+    hb_d = jax.tree.map(jnp.asarray, hb)
+    params, opt_state, loss = tr._train_step(params, opt_state, hb_d)
+    print(f"compiled; first loss {float(loss):.4f}", flush=True)
+
+    t_host, t_dev = [], []
+    edges_per_step = (
+        s.edge_cap * len(model.config.inner_layers)
+        + s.outer_edge_cap * len(model.config.outer_layers)
+    )
+    for i in range(args.steps):
+        t0 = time.perf_counter()
+        hb = s.sample()
+        hb_d = jax.tree.map(jnp.asarray, hb)
+        t1 = time.perf_counter()
+        params, opt_state, loss = tr._train_step(params, opt_state, hb_d)
+        _ = float(loss)
+        t2 = time.perf_counter()
+        t_host.append(t1 - t0)
+        t_dev.append(t2 - t1)
+    host_ms = float(np.mean(t_host) * 1e3)
+    dev_ms = float(np.mean(t_dev) * 1e3)
+    total = (host_ms + dev_ms) / 1e3
+    print(json.dumps({
+        "metric": "config4_edges_per_s_per_chip",
+        "host_sample_ms": round(host_ms, 1),
+        "device_step_ms": round(dev_ms, 1),
+        "edges_per_step": edges_per_step,
+        "value": round(edges_per_step / total, 1),
+        "unit": "edges/s/chip",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
