@@ -41,6 +41,45 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
 
 
 @struct.dataclass
+class CompactBatch:
+    """Index-only minibatch for the device-resident-table path.
+
+    Per-step host->device traffic is just the sampled drug ids + the outer
+    subgraph + pairs (~a few MB); molecule features/edges are expanded ON
+    DEVICE by ragged gathers from tables uploaded once
+    (MinibatchTrainer with resident=True). Crucial invariant: per-molecule
+    edges are pre-sorted by local dst at sampler init, so any concatenation
+    of molecule blocks with increasing offsets is globally dst-sorted — no
+    per-step sort anywhere.
+    """
+
+    nodes: np.ndarray  # [drug_budget] int32 sampled drug ids; pad 0 (masked)
+    n_real: np.ndarray  # [] int32 number of real sampled drugs
+    outer_src: np.ndarray  # [outer_edge_cap]
+    outer_dst: np.ndarray  # [outer_edge_cap] sorted; pad -> drug_budget
+    outer_weight: np.ndarray
+    pairs: np.ndarray  # [pair_cap, 2] local slots
+    labels: np.ndarray
+    mask: np.ndarray
+    drug_budget: int = struct.field(pytree_node=False)
+    node_cap: int = struct.field(pytree_node=False)
+    edge_cap: int = struct.field(pytree_node=False)
+    outer_edge_cap: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class MoleculeTables:
+    """Device-resident per-molecule arrays (uploaded once)."""
+
+    mol_ptr: np.ndarray  # [D_total+1] node offsets
+    mol_eptr: np.ndarray  # [D_total+1] sorted-edge offsets (incl self loops)
+    feat: np.ndarray  # [sum_n, F]
+    edge_src: np.ndarray  # [sum_e] molecule-local, dst-sorted per molecule
+    edge_dst: np.ndarray  # [sum_e]
+    edge_w: np.ndarray  # [sum_e] GCN weights (molecule-local degrees)
+
+
+@struct.dataclass
 class HierarchicalBatch:
     """One step's sampled data; every field has static shape."""
 
@@ -120,6 +159,26 @@ class HierarchicalSampler:
         self._all_dst = np.concatenate(
             [np.asarray(m.dst, np.int64) for m in ds.molecules]
         )
+
+        # per-molecule dst-sorted edges + self-loops + GCN weights, built as
+        # ONE disjoint union (molecules are disconnected, so degrees — and
+        # thus weights — are molecule-local). Because the union is globally
+        # dst-sorted and molecules occupy contiguous id ranges, each
+        # molecule's block is a contiguous slice, recoverable by one
+        # searchsorted. These tables live on device in the resident path.
+        e_counts = np.diff(self._mol_eptr)
+        g_src = self._all_src + np.repeat(self._mol_ptr[:-1], e_counts)
+        g_dst = self._all_dst + np.repeat(self._mol_ptr[:-1], e_counts)
+        s_g, d_g, w_g = _build_sorted(
+            g_src, g_dst, int(self._mol_ptr[-1]), True, True
+        )
+        self._tbl_eptr = np.searchsorted(d_g, self._mol_ptr).astype(np.int64)
+        owner = np.repeat(
+            np.arange(self.num_nodes, dtype=np.int64), np.diff(self._tbl_eptr)
+        )
+        self._tbl_src = (s_g - self._mol_ptr[owner]).astype(np.int32)
+        self._tbl_dst = (d_g - self._mol_ptr[owner]).astype(np.int32)
+        self._tbl_w = w_g.astype(np.float32)
         # global degrees for GCN weights (self-loops counted, matching
         # formats.gcn_normalize on the full train graph)
         deg = np.bincount(np.concatenate([u, np.arange(self.num_nodes)]),
@@ -228,12 +287,9 @@ class HierarchicalSampler:
         )
         return self.batch_from_pairs(all_pairs, labels)
 
-    def batch_from_pairs(
-        self, all_pairs: np.ndarray, labels: np.ndarray
-    ) -> HierarchicalBatch:
-        """Build a fixed-shape batch around given (global-id) pairs — used by
-        the train step (with sampled negatives) and chunked evaluation alike.
-        Pads the pair list up to pair_cap with masked slots."""
+    def _subgraph_from_pairs(self, all_pairs: np.ndarray, labels: np.ndarray):
+        """Shared front half: pad pairs, sample the neighborhood, build the
+        (deduped, dst-sorted) outer subgraph and localized pairs."""
         p = all_pairs.shape[0]
         if p > self.pair_cap:
             raise ValueError(f"{p} pairs > pair_cap {self.pair_cap}")
@@ -274,6 +330,26 @@ class HierarchicalSampler:
         if len(su) > oe_cap:
             su, sv, w = su[:oe_cap], sv[:oe_cap], w[:oe_cap]
 
+        pa = local_arr[all_pairs[:, 0]]
+        pb = local_arr[all_pairs[:, 1]]
+        valid = ((pa >= 0) & (pb >= 0)).astype(np.float32) * pad_mask
+        pairs_local = np.stack(
+            [np.maximum(pa, 0), np.maximum(pb, 0)], axis=1
+        ).astype(np.int32)
+        return nodes, su, sv, w, pairs_local, labels, valid
+
+    def batch_from_pairs(
+        self, all_pairs: np.ndarray, labels: np.ndarray
+    ) -> HierarchicalBatch:
+        """Fixed-shape batch with host-gathered molecule arrays — used where
+        the data is small or device tables are not set up; see
+        compact_from_pairs for the device-resident path."""
+        nodes, su, sv, w, pairs_local, labels, valid = self._subgraph_from_pairs(
+            all_pairs, labels
+        )
+        n_loc = len(nodes)
+        oe_cap = self.outer_edge_cap
+
         # molecule union of sampled drugs (ragged gathers from the
         # pre-concatenated arrays)
         n_per = (self._mol_ptr[nodes + 1] - self._mol_ptr[nodes]).astype(np.int64)
@@ -296,13 +372,6 @@ class HierarchicalSampler:
             out[: len(x)] = x
             return out
 
-        pa = local_arr[all_pairs[:, 0]]
-        pb = local_arr[all_pairs[:, 1]]
-        valid = ((pa >= 0) & (pb >= 0)).astype(np.float32)
-        pairs_local = np.stack(
-            [np.maximum(pa, 0), np.maximum(pb, 0)], axis=1
-        ).astype(np.int32)
-
         return HierarchicalBatch(
             node_feat=pad(feats.astype(np.float32), NC, 0.0),
             edge_src=pad(ms.astype(np.int32), EC, 0),
@@ -321,3 +390,65 @@ class HierarchicalSampler:
             edge_cap=EC,
             outer_edge_cap=oe_cap,
         )
+
+    # ------------------------------------------------------------------
+    # device-resident-table path
+    # ------------------------------------------------------------------
+    def tables(self) -> MoleculeTables:
+        """The static per-molecule tables (upload once, device-resident)."""
+        return MoleculeTables(
+            mol_ptr=self._mol_ptr,
+            mol_eptr=self._tbl_eptr,
+            feat=self._all_feat,
+            edge_src=self._tbl_src,
+            edge_dst=self._tbl_dst,
+            edge_w=self._tbl_w,
+        )
+
+    def compact_from_pairs(
+        self, all_pairs: np.ndarray, labels: np.ndarray
+    ) -> CompactBatch:
+        """Index-only batch: per-step H2D is nodes + outer subgraph + pairs."""
+        nodes, su, sv, w, pairs_local, labels, valid = self._subgraph_from_pairs(
+            all_pairs, labels
+        )
+        D, oe_cap = self.drug_budget, self.outer_edge_cap
+
+        def pad(x, cap, fill, dtype=None):
+            out = np.full((cap,) + x.shape[1:], fill, dtype or x.dtype)
+            out[: len(x)] = x
+            return out
+
+        return CompactBatch(
+            nodes=pad(nodes.astype(np.int32), D, 0),
+            n_real=np.int32(len(nodes)),
+            outer_src=pad(su.astype(np.int32), oe_cap, 0),
+            outer_dst=pad(sv.astype(np.int32), oe_cap, D),
+            outer_weight=pad(w, oe_cap, 0.0),
+            pairs=pairs_local,
+            labels=labels,
+            mask=valid,
+            drug_budget=D,
+            node_cap=self.node_cap,
+            edge_cap=self.edge_cap,
+            outer_edge_cap=oe_cap,
+        )
+
+    def sample_compact(self) -> CompactBatch:
+        rng = self._rng
+        bs = self.batch_size
+        idx = rng.choice(len(self.train_pairs), bs,
+                         replace=len(self.train_pairs) < bs)
+        pos = self.train_pairs[idx]
+        negs = []
+        for _ in range(self.neg_ratio):
+            corrupt_right = rng.random(bs) < 0.5
+            rand = rng.integers(0, self.num_nodes, bs)
+            nu = np.where(corrupt_right, pos[:, 0], rand)
+            nv = np.where(corrupt_right, rand, pos[:, 1])
+            negs.append(np.stack([nu, nv], 1))
+        all_pairs = np.concatenate([pos] + negs, axis=0)
+        labels = np.concatenate(
+            [np.ones(bs, np.float32), np.zeros(bs * self.neg_ratio, np.float32)]
+        )
+        return self.compact_from_pairs(all_pairs, labels)

@@ -18,7 +18,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from bignn_tpu.data.hierarchical import HierarchicalBatch, HierarchicalSampler
+from bignn_tpu.data.hierarchical import (
+    CompactBatch,
+    HierarchicalBatch,
+    HierarchicalSampler,
+)
 from bignn_tpu.data.sampler import EdgeMinibatchSampler, sample_negative_pairs
 from bignn_tpu.data.schema import DDIDataset, DeviceData
 from bignn_tpu.models.bignn import BiGNN
@@ -174,10 +178,16 @@ class MinibatchTrainer:
         config: TrainConfig,
         fanouts: tuple[int, ...] = (10,),
         max_drugs: int | None = None,
+        resident: bool = True,
     ):
+        """``resident=True`` (default) uploads the per-molecule tables to the
+        device once and ships only index-sized batches per step (CompactBatch
+        + on-device ragged expansion) — at config-#4 scale the host->device
+        feature transfer otherwise dominates the step."""
         self.model = model
         self.ds = ds
         self.config = config
+        self.resident = resident
         self.sampler = HierarchicalSampler(
             ds,
             batch_size=config.batch_size,
@@ -191,23 +201,101 @@ class MinibatchTrainer:
             if config.weight_decay
             else optax.adam(config.lr)
         )
+        if resident:
+            self.tables = jax.tree.map(jnp.asarray, self.sampler.tables())
         self._train_step = jax.jit(self._step)
         self._score_batch = jax.jit(self._score)
 
-    # -- jitted bodies ---------------------------------------------------
-    def _forward(self, params, hb: HierarchicalBatch):
-        pb = PaddedGraphBatch(
-            node_feat=hb.node_feat,
-            node_mask=jnp.ones(hb.node_cap, jnp.float32),
-            edge_src=hb.edge_src,
-            edge_dst=hb.edge_dst,
-            edge_weight=hb.edge_weight,
-            graph_ids=hb.graph_ids,
-            graph_n_nodes=hb.graph_n_nodes,
-            num_graphs=hb.drug_budget,
-            node_cap=hb.node_cap,
-            edge_cap=hb.edge_cap,
+    # -- device-side ragged expansion (resident path) --------------------
+    def _expand_compact(self, cb: CompactBatch, tb) -> PaddedGraphBatch:
+        """CompactBatch (indices) -> PaddedGraphBatch, entirely on device.
+
+        Rows of each sampled molecule are located with cumsum+searchsorted
+        (static shapes); because per-molecule edge blocks are pre-sorted by
+        local dst and offsets increase monotonically, the expanded edge list
+        is globally dst-sorted with zero per-step sorting.
+        """
+        D, NC, EC = cb.drug_budget, cb.node_cap, cb.edge_cap
+        nodes = cb.nodes.astype(jnp.int32)
+        slot_valid = jnp.arange(D) < cb.n_real
+        mol_ptr = tb.mol_ptr
+        n_per = jnp.where(
+            slot_valid, jnp.take(mol_ptr, nodes + 1, mode="clip")
+            - jnp.take(mol_ptr, nodes, mode="clip"), 0
         )
+        cum = jnp.cumsum(n_per)  # [D]
+        total = cum[-1]
+        row_pos = jnp.arange(NC)
+        slot = jnp.searchsorted(cum, row_pos, side="right")  # [NC] in [0, D]
+        slot_c = jnp.minimum(slot, D - 1)
+        cum0 = jnp.concatenate([jnp.zeros(1, cum.dtype), cum])
+        base = jnp.take(mol_ptr, jnp.take(nodes, slot_c), mode="clip")
+        node_rows = base + (row_pos - cum0[slot])
+        row_valid = row_pos < total
+        node_feat = jnp.where(
+            row_valid[:, None],
+            jnp.take(tb.feat, node_rows, axis=0, mode="clip"),
+            0.0,
+        )
+        graph_ids = jnp.where(row_valid, slot_c, D).astype(jnp.int32)
+
+        eptr = tb.mol_eptr
+        e_per = jnp.where(
+            slot_valid, jnp.take(eptr, nodes + 1, mode="clip")
+            - jnp.take(eptr, nodes, mode="clip"), 0
+        )
+        ecum = jnp.cumsum(e_per)
+        etotal = ecum[-1]
+        epos = jnp.arange(EC)
+        eslot = jnp.searchsorted(ecum, epos, side="right")
+        eslot_c = jnp.minimum(eslot, D - 1)
+        ecum0 = jnp.concatenate([jnp.zeros(1, ecum.dtype), ecum])
+        erows = jnp.take(eptr, jnp.take(nodes, eslot_c), mode="clip") + (
+            epos - ecum0[eslot]
+        )
+        evalid = epos < etotal
+        node_off = cum0[eslot_c]  # node offset of the edge's molecule
+        edge_src = jnp.where(
+            evalid, jnp.take(tb.edge_src, erows, mode="clip") + node_off, 0
+        ).astype(jnp.int32)
+        edge_dst = jnp.where(
+            evalid, jnp.take(tb.edge_dst, erows, mode="clip") + node_off, NC
+        ).astype(jnp.int32)
+        edge_w = jnp.where(
+            evalid, jnp.take(tb.edge_w, erows, mode="clip"), 0.0
+        )
+        return PaddedGraphBatch(
+            node_feat=node_feat,
+            node_mask=row_valid.astype(jnp.float32),
+            edge_src=edge_src,
+            edge_dst=edge_dst,
+            edge_weight=edge_w,
+            graph_ids=graph_ids,
+            graph_n_nodes=n_per.astype(jnp.float32),
+            num_graphs=D,
+            node_cap=NC,
+            edge_cap=EC,
+        )
+
+    # -- jitted bodies ---------------------------------------------------
+    def _forward(self, params, hb, tables=None):
+        if isinstance(hb, CompactBatch):
+            # tables are jit ARGUMENTS (device-resident), never closure
+            # constants — embedding them in the HLO blows up compilation
+            pb = self._expand_compact(hb, tables)
+        else:
+            pb = PaddedGraphBatch(
+                node_feat=hb.node_feat,
+                node_mask=jnp.ones(hb.node_cap, jnp.float32),
+                edge_src=hb.edge_src,
+                edge_dst=hb.edge_dst,
+                edge_weight=hb.edge_weight,
+                graph_ids=hb.graph_ids,
+                graph_n_nodes=hb.graph_n_nodes,
+                num_graphs=hb.drug_budget,
+                node_cap=hb.node_cap,
+                edge_cap=hb.edge_cap,
+            )
         emb = self.model.encode_inner(params, pb)
         og = OuterGraph(
             edge_src=hb.outer_src,
@@ -219,18 +307,18 @@ class MinibatchTrainer:
         emb = self.model.propagate_outer(params, emb, og)
         return self.model.score_pairs(params, emb, hb.pairs)
 
-    def _loss(self, params, hb: HierarchicalBatch):
-        logits = self._forward(params, hb)
+    def _loss(self, params, hb, tables=None):
+        logits = self._forward(params, hb, tables)
         return bce_with_logits_loss(logits, hb.labels, hb.mask)
 
-    def _step(self, params, opt_state, hb):
-        loss, grads = jax.value_and_grad(self._loss)(params, hb)
+    def _step(self, params, opt_state, hb, tables=None):
+        loss, grads = jax.value_and_grad(self._loss)(params, hb, tables)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def _score(self, params, hb):
-        return self._forward(params, hb)
+    def _score(self, params, hb, tables=None):
+        return self._forward(params, hb, tables)
 
     # -- host loop -------------------------------------------------------
     def init(self, key=None):
@@ -250,12 +338,15 @@ class MinibatchTrainer:
         pairs = np.concatenate([pos, neg])
         labels = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
         cap = self.sampler.pair_cap
+        make = (self.sampler.compact_from_pairs if self.resident
+                else self.sampler.batch_from_pairs)
         scores = np.zeros(len(pairs), np.float64)
         for start in range(0, len(pairs), cap):
             chunk = pairs[start : start + cap]
             lab = labels[start : start + cap].astype(np.float32)
-            hb = self.sampler.batch_from_pairs(chunk, lab)
-            s = np.asarray(self._score_batch(params, jax.tree.map(jnp.asarray, hb)))
+            hb = make(chunk, lab)
+            tbl = self.tables if self.resident else None
+            s = np.asarray(self._score_batch(params, jax.tree.map(jnp.asarray, hb), tbl))
             scores[start : start + len(chunk)] = s[: len(chunk)]
         return {
             f"{split}_auc": roc_auc(labels, scores),
@@ -269,13 +360,15 @@ class MinibatchTrainer:
         n_steps = steps_per_epoch or len(self.sampler)
         best = {"val_auc": -1.0, "params": params, "epoch": -1}
         history = []
+        draw = self.sampler.sample_compact if self.resident else self.sampler.sample
         for epoch in range(cfg.epochs):
             t0 = time.perf_counter()
             losses = []
             for _ in range(n_steps):
-                hb = self.sampler.sample()
+                hb = draw()
                 params, opt_state, loss = self._train_step(
-                    params, opt_state, jax.tree.map(jnp.asarray, hb)
+                    params, opt_state, jax.tree.map(jnp.asarray, hb),
+                    self.tables if self.resident else None,
                 )
                 losses.append(loss)
             rec = {

@@ -55,8 +55,8 @@ def main():
           f"outer_cap={s.outer_edge_cap}", flush=True)
 
     params, opt_state = tr.init()
-    # warm up / compile
-    hb = s.sample()
+    # warm up / compile (resident path: device tables + compact batches)
+    hb = s.sample_compact()
     hb_d = jax.tree.map(jnp.asarray, hb)
     params, opt_state, loss = tr._train_step(params, opt_state, hb_d)
     print(f"compiled; first loss {float(loss):.4f}", flush=True)
@@ -68,10 +68,10 @@ def main():
     )
     for i in range(args.steps):
         t0 = time.perf_counter()
-        hb = s.sample()
+        hb = s.sample_compact()
         hb_d = jax.tree.map(jnp.asarray, hb)
         t1 = time.perf_counter()
-        params, opt_state, loss = tr._train_step(params, opt_state, hb_d)
+        params, opt_state, loss = tr._train_step(params, opt_state, hb_d, tr.tables)
         _ = float(loss)
         t2 = time.perf_counter()
         t_host.append(t1 - t0)

@@ -78,3 +78,37 @@ def test_minibatch_trainer_loss_decreases(ds):
     losses = [r["loss"] for r in res["history"]]
     assert losses[-1] < losses[0]
     assert np.isfinite(res["test_auc"])
+
+def test_compact_resident_path_matches_host_path(ds):
+    """CompactBatch + on-device ragged expansion must produce logits identical
+    to the host-gathered HierarchicalBatch path for the same pairs."""
+    model = BiGNN(BiGNNConfig(feat_dim=12, inner_layers=("gin:16", "gcn:16"),
+                              outer_layers=("gat:16:relu",)))
+    tr = MinibatchTrainer(model, ds, TrainConfig(lr=1e-3, epochs=1, batch_size=16),
+                          fanouts=(5,), resident=True)
+    params, _ = tr.init()
+    rng = np.random.default_rng(7)
+    pairs = ds.split_edges("train")[rng.choice(200, 16, replace=False)].astype(np.int64)
+    labels = np.ones(len(pairs), np.float32)
+
+    # neighbor subsampling draws from the sampler RNG; reset it so both
+    # paths see the identical subgraph
+    tr.sampler._rng = np.random.default_rng(123)
+    hb = tr.sampler.batch_from_pairs(pairs, labels)
+    tr.sampler._rng = np.random.default_rng(123)
+    cb = tr.sampler.compact_from_pairs(pairs, labels)
+    ref = np.asarray(tr._forward(params, jax.tree.map(jnp.asarray, hb)))
+    got = np.asarray(tr._forward(params, jax.tree.map(jnp.asarray, cb), tr.tables))
+    np.testing.assert_allclose(got[: len(pairs)], ref[: len(pairs)],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_compact_trainer_loss_decreases(ds):
+    model = BiGNN(BiGNNConfig.config1(feat_dim=12))
+    tr = MinibatchTrainer(model, ds, TrainConfig(lr=5e-3, epochs=2, batch_size=64,
+                                                 eval_every=2),
+                          fanouts=(6,), resident=True)
+    params, res = tr.fit()
+    losses = [r["loss"] for r in res["history"]]
+    assert losses[-1] < losses[0]
+    assert np.isfinite(res["test_auc"])
