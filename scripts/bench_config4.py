@@ -11,6 +11,9 @@ Usage: python scripts/bench_config4.py [--num-drugs 100000] [--steps 20]
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time
@@ -58,7 +61,7 @@ def main():
     # warm up / compile (resident path: device tables + compact batches)
     hb = s.sample_compact()
     hb_d = jax.tree.map(jnp.asarray, hb)
-    params, opt_state, loss = tr._train_step(params, opt_state, hb_d)
+    params, opt_state, loss = tr._train_step(params, opt_state, hb_d, tr.tables)
     print(f"compiled; first loss {float(loss):.4f}", flush=True)
 
     t_host, t_dev = [], []

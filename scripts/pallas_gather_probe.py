@@ -1,4 +1,7 @@
 """Probe which in-kernel gather strategies Mosaic/TPU supports (jax 0.9)."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import sys
 import traceback

@@ -1,0 +1,112 @@
+"""Stage-by-stage timing of the config #4 train step (device-bound per
+scripts/bench_config4.py: 884ms device vs 58ms host). Isolates:
+
+  expand   — CompactBatch -> PaddedGraphBatch on-device ragged expansion
+  inner    — encode_inner (k GIN layers + readout)
+  outer    — propagate_outer (GAT over sampled outer subgraph)
+  score    — pair gather + scorer
+  fwd      — full forward
+  step     — full train step (fwd + bwd + adam)
+
+Builds the 100K-drug dataset once and caches it in .cache/config4.npz.
+"""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, *args, n=5, name=""):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n * 1000
+    print(f"{name:10s} {dt:9.2f} ms")
+    return dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-drugs", type=int, default=100_000)
+    p.add_argument("--avg-degree", type=float, default=200.0)
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--fanouts", default="10,5")
+    p.add_argument("--max-drugs", type=int, default=16384)
+    p.add_argument("--dim", type=int, default=128)
+    args = p.parse_args()
+
+    from bignn_tpu.data import make_synthetic_ddi
+    from bignn_tpu.data.datasets import load_npz_cache, save_npz_cache
+    from bignn_tpu.models import BiGNN, BiGNNConfig
+    from bignn_tpu.sparse.formats import OuterGraph
+    from bignn_tpu.train import MinibatchTrainer, TrainConfig
+
+    cache = _os.path.join(_os.path.dirname(__file__), "..", ".cache",
+                          f"config4_{args.num_drugs}.npz")
+    t0 = time.perf_counter()
+    if _os.path.exists(cache):
+        ds = load_npz_cache(cache, "config4")
+        print(f"dataset loaded from cache in {time.perf_counter()-t0:.1f}s")
+    else:
+        ds = make_synthetic_ddi(
+            num_drugs=args.num_drugs, feat_dim=32, avg_degree=args.avg_degree,
+            min_atoms=8, max_atoms=40, latent_dim=8, seed=0, name="config4",
+        )
+        save_npz_cache(ds, cache)
+        print(f"dataset built in {time.perf_counter()-t0:.1f}s (cached)")
+
+    fanouts = tuple(int(x) for x in args.fanouts.split(","))
+    model = BiGNN(BiGNNConfig.full_bignn(feat_dim=32, dim=args.dim, heads=4))
+    tr = MinibatchTrainer(
+        model, ds, TrainConfig(lr=1e-3, epochs=1, batch_size=args.batch),
+        fanouts=fanouts, max_drugs=args.max_drugs,
+    )
+    s = tr.sampler
+    print(f"budget={s.drug_budget} node_cap={s.node_cap} edge_cap={s.edge_cap} "
+          f"outer_cap={s.outer_edge_cap}", flush=True)
+    params, opt_state = tr.init()
+    cb = jax.tree.map(jnp.asarray, s.sample_compact())
+    tb = tr.tables
+
+    expand = jax.jit(tr._expand_compact)
+    pb = expand(cb, tb)
+
+    def inner(params, pb):
+        return tr.model.encode_inner(params, pb)
+
+    inner_j = jax.jit(inner)
+    emb = inner_j(params, pb)
+
+    def outer(params, emb, cb):
+        og = OuterGraph(
+            edge_src=cb.outer_src, edge_dst=cb.outer_dst,
+            edge_weight=cb.outer_weight, num_drugs=cb.drug_budget,
+            edge_cap=cb.outer_edge_cap,
+        )
+        return tr.model.propagate_outer(params, emb, og)
+
+    outer_j = jax.jit(outer)
+    emb2 = outer_j(params, emb, cb)
+
+    score_j = jax.jit(lambda params, emb2, cb: tr.model.score_pairs(params, emb2, cb.pairs))
+    fwd_j = jax.jit(tr._forward)
+
+    timed(expand, cb, tb, name="expand")
+    timed(inner_j, params, pb, name="inner")
+    timed(outer_j, params, emb, cb, name="outer")
+    timed(score_j, params, emb2, cb, name="score")
+    timed(fwd_j, params, cb, tb, name="fwd")
+    timed(lambda: tr._train_step(params, opt_state, cb, tb), name="step")
+
+
+if __name__ == "__main__":
+    main()
