@@ -25,7 +25,7 @@ import numpy as np
 from flax import struct
 
 from bignn_tpu.data.schema import DDIDataset
-from bignn_tpu.sparse.formats import COOGraph, _build_sorted
+from bignn_tpu.sparse.formats import COOGraph, _build_sorted, src_sort_arrays
 
 
 def _round_up(a: int, b: int) -> int:
@@ -58,6 +58,8 @@ class CompactBatch:
     outer_src: np.ndarray  # [outer_edge_cap]
     outer_dst: np.ndarray  # [outer_edge_cap] sorted; pad -> drug_budget
     outer_weight: np.ndarray
+    outer_src_perm: np.ndarray  # [outer_edge_cap] argsort(outer_src)
+    outer_src_sorted: np.ndarray  # [outer_edge_cap] outer_src[perm]
     pairs: np.ndarray  # [pair_cap, 2] local slots
     labels: np.ndarray
     mask: np.ndarray
@@ -77,6 +79,14 @@ class MoleculeTables:
     edge_src: np.ndarray  # [sum_e] molecule-local, dst-sorted per molecule
     edge_dst: np.ndarray  # [sum_e]
     edge_w: np.ndarray  # [sum_e] GCN weights (molecule-local degrees)
+    # source-sort tables: edge_sperm[j] = local position (within the
+    # molecule's edge block) of the j-th smallest local src in that block;
+    # edge_ssorted[j] = the corresponding local src value. Because molecule
+    # blocks are concatenated with increasing offsets, their expansion is a
+    # GLOBALLY src-sorted permutation of the batch edge list — the SpMM
+    # backward scatter runs with no device sort (ops/pallas/spmm.py).
+    edge_sperm: np.ndarray  # [sum_e] int32
+    edge_ssorted: np.ndarray  # [sum_e] int32
 
 
 @struct.dataclass
@@ -90,10 +100,14 @@ class HierarchicalBatch:
     edge_weight: np.ndarray  # [edge_cap]
     graph_ids: np.ndarray  # [node_cap]; pad -> drug_budget
     graph_n_nodes: np.ndarray  # [drug_budget]
+    edge_src_perm: np.ndarray  # [edge_cap] argsort(edge_src)
+    edge_src_sorted: np.ndarray  # [edge_cap]
     # sampled outer subgraph (local drug slots)
     outer_src: np.ndarray  # [outer_edge_cap]
     outer_dst: np.ndarray  # [outer_edge_cap] sorted; pad -> drug_budget
     outer_weight: np.ndarray  # [outer_edge_cap]
+    outer_src_perm: np.ndarray  # [outer_edge_cap]
+    outer_src_sorted: np.ndarray  # [outer_edge_cap]
     # scoring pairs (local slots) + labels
     pairs: np.ndarray  # [pair_cap, 2]
     labels: np.ndarray  # [pair_cap]
@@ -179,6 +193,13 @@ class HierarchicalSampler:
         self._tbl_src = (s_g - self._mol_ptr[owner]).astype(np.int32)
         self._tbl_dst = (d_g - self._mol_ptr[owner]).astype(np.int32)
         self._tbl_w = w_g.astype(np.float32)
+        # per-molecule source-sort tables (see MoleculeTables): sort edges by
+        # (owner, local src) in one pass; owner grouping is preserved, so each
+        # block's slice is its local src-sorted order.
+        key = owner * np.int64(self._mol_ptr[-1] + 1) + self._tbl_src
+        order = np.argsort(key, kind="stable")
+        self._tbl_sperm = (order - self._tbl_eptr[owner]).astype(np.int32)
+        self._tbl_ssorted = self._tbl_src[order].astype(np.int32)
         # global degrees for GCN weights (self-loops counted, matching
         # formats.gcn_normalize on the full train graph)
         deg = np.bincount(np.concatenate([u, np.arange(self.num_nodes)]),
@@ -372,16 +393,24 @@ class HierarchicalSampler:
             out[: len(x)] = x
             return out
 
+        edge_src_p = pad(ms.astype(np.int32), EC, 0)
+        sperm, ssorted = src_sort_arrays(edge_src_p)
+        outer_src_p = pad(su.astype(np.int32), oe_cap, 0)
+        osperm, ossorted = src_sort_arrays(outer_src_p)
         return HierarchicalBatch(
             node_feat=pad(feats.astype(np.float32), NC, 0.0),
-            edge_src=pad(ms.astype(np.int32), EC, 0),
+            edge_src=edge_src_p,
             edge_dst=pad(md.astype(np.int32), EC, NC),
             edge_weight=pad(mw, EC, 0.0),
+            edge_src_perm=sperm,
+            edge_src_sorted=ssorted,
             graph_ids=pad(gids_v, NC, D),
             graph_n_nodes=pad(n_per.astype(np.float32), D, 0.0),
-            outer_src=pad(su.astype(np.int32), oe_cap, 0),
+            outer_src=outer_src_p,
             outer_dst=pad(sv.astype(np.int32), oe_cap, D),
             outer_weight=pad(w, oe_cap, 0.0),
+            outer_src_perm=osperm,
+            outer_src_sorted=ossorted,
             pairs=pairs_local,
             labels=labels,
             mask=valid,
@@ -403,6 +432,8 @@ class HierarchicalSampler:
             edge_src=self._tbl_src,
             edge_dst=self._tbl_dst,
             edge_w=self._tbl_w,
+            edge_sperm=self._tbl_sperm,
+            edge_ssorted=self._tbl_ssorted,
         )
 
     def compact_from_pairs(
@@ -419,12 +450,16 @@ class HierarchicalSampler:
             out[: len(x)] = x
             return out
 
+        outer_src_p = pad(su.astype(np.int32), oe_cap, 0)
+        osperm, ossorted = src_sort_arrays(outer_src_p)
         return CompactBatch(
             nodes=pad(nodes.astype(np.int32), D, 0),
             n_real=np.int32(len(nodes)),
-            outer_src=pad(su.astype(np.int32), oe_cap, 0),
+            outer_src=outer_src_p,
             outer_dst=pad(sv.astype(np.int32), oe_cap, D),
             outer_weight=pad(w, oe_cap, 0.0),
+            outer_src_perm=osperm,
+            outer_src_sorted=ossorted,
             pairs=pairs_local,
             labels=labels,
             mask=valid,

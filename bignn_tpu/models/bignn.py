@@ -146,6 +146,8 @@ class BiGNN:
                 batch.edge_dst,
                 batch.edge_weight,
                 batch.node_cap,
+                src_perm=batch.edge_src_perm,
+                src_sorted=batch.edge_src_sorted,
             )
         return readout.apply(
             params["readout"], x, batch.graph_ids, batch.num_graphs, batch.graph_n_nodes
@@ -179,6 +181,8 @@ class BiGNN:
                 outer.edge_dst,
                 outer.edge_weight,
                 outer.num_nodes,
+                src_perm=outer.edge_src_perm,
+                src_sorted=outer.edge_src_sorted,
             )
         return emb
 

@@ -46,11 +46,13 @@ class GCNConv:
             "b": jnp.zeros((self.out_dim,), jnp.float32),
         }
 
-    def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes):
+    def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
+              src_perm=None, src_sorted=None):
         h = jnp.dot(
             x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)
-        agg = spmm_sorted_coo(h, edge_src, edge_dst, edge_weight, num_nodes)
+        agg = spmm_sorted_coo(h, edge_src, edge_dst, edge_weight, num_nodes,
+                              src_perm=src_perm, src_sorted=src_sorted)
         return parse_activation(self.activation)(agg + params["b"]).astype(x.dtype)
 
 
@@ -74,9 +76,11 @@ class GINConv:
         mlp = MLP((self.in_dim, hidden, self.out_dim), self.activation)
         return {"mlp": mlp.init(key), "eps": jnp.zeros((), jnp.float32)}
 
-    def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes):
+    def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
+              src_perm=None, src_sorted=None):
         del edge_weight  # GIN ignores GCN normalization
-        agg = spmm_sorted_coo(x, edge_src, edge_dst, None, num_nodes)
+        agg = spmm_sorted_coo(x, edge_src, edge_dst, None, num_nodes,
+                              src_perm=src_perm, src_sorted=src_sorted)
         hidden = self.hidden_dim or self.out_dim
         mlp = MLP((self.in_dim, hidden, self.out_dim), self.activation)
         out = mlp.apply(params["mlp"], agg + params["eps"] * x)
@@ -117,7 +121,8 @@ class GATConv:
             "b": jnp.zeros((self.out_dim,), jnp.float32),
         }
 
-    def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes):
+    def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
+              src_perm=None, src_sorted=None):
         del edge_weight  # attention replaces fixed normalization
         H, D = self.heads, self.head_dim
         h = jnp.dot(
@@ -129,7 +134,8 @@ class GATConv:
         e = gather_rows(score_l, edge_dst) + gather_rows(score_r, edge_src)
         e = jax.nn.leaky_relu(e, self.negative_slope)  # [E, H]
         alpha = segment_softmax(e, edge_dst, num_nodes)  # [E, H]
-        agg = spmm_multihead(hh, edge_src, edge_dst, alpha.astype(x.dtype), num_nodes)
+        agg = spmm_multihead(hh, edge_src, edge_dst, alpha.astype(x.dtype), num_nodes,
+                             src_perm=src_perm, src_sorted=src_sorted)
         return parse_activation(self.activation)(
             agg.reshape(-1, H * D) + params["b"]
         ).astype(x.dtype)
@@ -166,7 +172,8 @@ class DotAttnConv:
             "b": jnp.zeros((self.out_dim,), jnp.float32),
         }
 
-    def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes):
+    def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
+              src_perm=None, src_sorted=None):
         del edge_weight
         H, D = self.heads, self.head_dim
         def _proj(w):
@@ -179,7 +186,8 @@ class DotAttnConv:
         v = _proj(params["wv"])
         e = sddmm(q, k, edge_src, edge_dst) / jnp.sqrt(jnp.float32(D))  # [E, H]
         alpha = segment_softmax(e, edge_dst, num_nodes)
-        agg = spmm_multihead(v, edge_src, edge_dst, alpha.astype(x.dtype), num_nodes)
+        agg = spmm_multihead(v, edge_src, edge_dst, alpha.astype(x.dtype), num_nodes,
+                             src_perm=src_perm, src_sorted=src_sorted)
         return parse_activation(self.activation)(
             agg.reshape(-1, H * D) + params["b"]
         ).astype(x.dtype)

@@ -28,15 +28,24 @@ def spmm_sorted_coo(
     weight: jax.Array | None,  # [E] float or None (unweighted)
     num_out: int,
     *,
+    src_perm: jax.Array | None = None,  # [E] argsort(src), precomputed on host
+    src_sorted: jax.Array | None = None,  # [E] src[src_perm]
     backend: str | None = None,
 ) -> jax.Array:
-    """Compute ``out[i] = sum_{e: dst[e]==i} weight[e] * x[src[e]]``."""
+    """Compute ``out[i] = sum_{e: dst[e]==i} weight[e] * x[src[e]]``.
+
+    ``src_perm``/``src_sorted`` (optional, static per graph) let the pallas
+    backward run its scatter as a sorted segment-sum with **no device sort**;
+    without them it argsorts ``src`` per step.
+    """
     b = get_backend(backend)
     if b in ("pallas", "pallas_interpret"):
         from bignn_tpu.ops.pallas.spmm import spmm_pallas
 
         return spmm_pallas(
-            x, src, dst, weight, num_out, interpret=(b == "pallas_interpret")
+            x, src, dst, weight, num_out,
+            src_perm=src_perm, src_sorted=src_sorted,
+            interpret=(b == "pallas_interpret"),
         )
     msgs = gather_rows(x, src)
     if weight is not None:

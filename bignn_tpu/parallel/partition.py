@@ -152,17 +152,24 @@ def _stack_unions(shards, B):
         out[: len(x)] = x
         return out
 
+    from bignn_tpu.sparse.formats import src_sort_arrays
+
     fields = dict(node_feat=[], node_mask=[], edge_src=[], edge_dst=[],
-                  edge_weight=[], graph_ids=[], graph_n_nodes=[])
+                  edge_weight=[], graph_ids=[], graph_n_nodes=[],
+                  edge_src_perm=[], edge_src_sorted=[])
     for sh in shards:
         tn = sh["total_nodes"]
         fields["node_feat"].append(pad(sh["feat"], node_cap, 0.0))
         fields["node_mask"].append(pad(np.ones(tn, np.float32), node_cap, 0.0))
-        fields["edge_src"].append(pad(sh["src"].astype(np.int32), edge_cap, 0))
+        esrc = pad(sh["src"].astype(np.int32), edge_cap, 0)
+        fields["edge_src"].append(esrc)
         fields["edge_dst"].append(pad(sh["dst"].astype(np.int32), edge_cap, node_cap))
         fields["edge_weight"].append(pad(sh["w"].astype(np.float32), edge_cap, 0.0))
         fields["graph_ids"].append(pad(sh["gids"], node_cap, B))
         fields["graph_n_nodes"].append(sh["nnodes"])
+        sperm, ssorted = src_sort_arrays(esrc)
+        fields["edge_src_perm"].append(sperm)
+        fields["edge_src_sorted"].append(ssorted)
 
     return PaddedGraphBatch(
         **{k: np.stack(v) for k, v in fields.items()},

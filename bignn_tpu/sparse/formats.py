@@ -101,6 +101,12 @@ class PaddedGraphBatch:
     num_graphs: int = struct.field(pytree_node=False)
     node_cap: int = struct.field(pytree_node=False)
     edge_cap: int = struct.field(pytree_node=False)
+    # optional source-sort permutation (static per graph): edge_src_perm =
+    # argsort(edge_src), edge_src_sorted = edge_src[edge_src_perm]. Lets the
+    # SpMM/attention backward scatter run as a sorted segment-sum with no
+    # device sort (ops/pallas/spmm.py).
+    edge_src_perm: np.ndarray | None = None
+    edge_src_sorted: np.ndarray | None = None
 
 
 @struct.dataclass
@@ -117,6 +123,8 @@ class OuterGraph:
     edge_weight: np.ndarray  # [edge_cap] float32
     num_nodes: int = struct.field(pytree_node=False)
     edge_cap: int = struct.field(pytree_node=False)
+    edge_src_perm: np.ndarray | None = None  # argsort(edge_src), see above
+    edge_src_sorted: np.ndarray | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +163,14 @@ def gcn_normalize(
     inv_sqrt = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1.0)), 0.0)
     w = inv_sqrt[src] * inv_sqrt[dst]
     return src, dst, w.astype(np.float32)
+
+
+def src_sort_arrays(edge_src: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-precomputed (argsort(src), src[argsort]) over the PADDED edge
+    array — static per graph, so the SpMM backward's sorted-segment scatter
+    needs no device sort. Stable sort reproduces jnp.argsort exactly."""
+    perm = np.argsort(edge_src, kind="stable").astype(np.int32)
+    return perm, edge_src[perm].astype(np.int32)
 
 
 def _sort_by_dst(
@@ -240,6 +256,7 @@ def build_padded_batch(
     edge_src = pad_to(src.astype(np.int32), edge_cap, fill=0)
     edge_dst = pad_to(dst.astype(np.int32), edge_cap, fill=node_cap)
     edge_weight = pad_to(w, edge_cap, fill=0.0)
+    sperm, ssorted = src_sort_arrays(edge_src)
 
     return PaddedGraphBatch(
         node_feat=node_feat,
@@ -252,6 +269,8 @@ def build_padded_batch(
         num_graphs=num_graphs,
         node_cap=int(node_cap),
         edge_cap=int(edge_cap),
+        edge_src_perm=sperm,
+        edge_src_sorted=ssorted,
     )
 
 
@@ -281,10 +300,14 @@ def build_outer_graph(
         edge_cap = ((n_edges + 127) // 128) * 128
     if n_edges > edge_cap:
         raise ValueError(f"edges {n_edges} > edge_cap {edge_cap}")
+    edge_src = pad_to(src.astype(np.int32), edge_cap, fill=0)
+    sperm, ssorted = src_sort_arrays(edge_src)
     return OuterGraph(
-        edge_src=pad_to(src.astype(np.int32), edge_cap, fill=0),
+        edge_src=edge_src,
         edge_dst=pad_to(dst.astype(np.int32), edge_cap, fill=num_nodes),
         edge_weight=pad_to(w, edge_cap, fill=0.0),
         num_nodes=int(num_nodes),
         edge_cap=int(edge_cap),
+        edge_src_perm=sperm,
+        edge_src_sorted=ssorted,
     )

@@ -38,13 +38,26 @@ def main():
     from bignn_tpu.models import BiGNN, BiGNNConfig
     from bignn_tpu.train import MinibatchTrainer, TrainConfig
 
+    from bignn_tpu.data.datasets import load_npz_cache, save_npz_cache
+
+    cache = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
+                          ".cache", f"config4_{args.num_drugs}.npz")
     t0 = time.perf_counter()
-    ds = make_synthetic_ddi(
-        num_drugs=args.num_drugs, feat_dim=32, avg_degree=args.avg_degree,
-        min_atoms=8, max_atoms=40, latent_dim=8, seed=0, name="config4",
-    )
-    print(f"dataset built in {time.perf_counter()-t0:.1f}s: {ds.stats()}",
-          flush=True)
+    if _os.path.exists(cache):
+        ds = load_npz_cache(cache, "config4")
+        print(f"dataset loaded from cache in {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    else:
+        ds = make_synthetic_ddi(
+            num_drugs=args.num_drugs, feat_dim=32, avg_degree=args.avg_degree,
+            min_atoms=8, max_atoms=40, latent_dim=8, seed=0, name="config4",
+        )
+        _os.makedirs(_os.path.dirname(cache), exist_ok=True)
+        tmp = cache.replace(".npz", ".tmp.npz")
+        save_npz_cache(ds, tmp)
+        _os.replace(tmp, cache)
+        print(f"dataset built in {time.perf_counter()-t0:.1f}s: {ds.stats()}",
+              flush=True)
 
     fanouts = tuple(int(x) for x in args.fanouts.split(","))
     model = BiGNN(BiGNNConfig.full_bignn(feat_dim=32, dim=args.dim, heads=4))
@@ -64,11 +77,14 @@ def main():
     params, opt_state, loss = tr._train_step(params, opt_state, hb_d, tr.tables)
     print(f"compiled; first loss {float(loss):.4f}", flush=True)
 
-    t_host, t_dev = [], []
     edges_per_step = (
         s.edge_cap * len(model.config.inner_layers)
         + s.outer_edge_cap * len(model.config.outer_layers)
     )
+    # diagnostic pass: per-step host/device split, forced each step.
+    # Medians, not means — a single straggler (e.g. a latent recompile)
+    # must not smear across the whole run.
+    t_host, t_dev = [], []
     for i in range(args.steps):
         t0 = time.perf_counter()
         hb = s.sample_compact()
@@ -79,15 +95,25 @@ def main():
         t2 = time.perf_counter()
         t_host.append(t1 - t0)
         t_dev.append(t2 - t1)
-    host_ms = float(np.mean(t_host) * 1e3)
-    dev_ms = float(np.mean(t_dev) * 1e3)
-    total = (host_ms + dev_ms) / 1e3
+    host_ms = float(np.median(t_host) * 1e3)
+    dev_ms = float(np.median(t_dev) * 1e3)
+
+    # steady-state pass: what training actually does — async dispatch, so
+    # host sampling, H2D and device compute pipeline; block only at the end.
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        hb = s.sample_compact()
+        hb_d = jax.tree.map(jnp.asarray, hb)
+        params, opt_state, loss = tr._train_step(params, opt_state, hb_d, tr.tables)
+    jax.block_until_ready(loss)
+    steady = (time.perf_counter() - t0) / args.steps
     print(json.dumps({
         "metric": "config4_edges_per_s_per_chip",
         "host_sample_ms": round(host_ms, 1),
         "device_step_ms": round(dev_ms, 1),
+        "steady_state_step_ms": round(steady * 1e3, 1),
         "edges_per_step": edges_per_step,
-        "value": round(edges_per_step / total, 1),
+        "value": round(edges_per_step / steady, 1),
         "unit": "edges/s/chip",
     }), flush=True)
 

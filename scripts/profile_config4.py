@@ -22,15 +22,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _force(out):
+    """Force execution via a scalar D2H — on the axon tunnel platform
+    block_until_ready returns early, so D2H is the only reliable sync."""
+    import numpy as np
+    for leaf in jax.tree.leaves(out):
+        np.asarray(jnp.ravel(leaf)[0])
+
+
 def timed(fn, *args, n=5, name=""):
+    import numpy as np
     out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    _force(out)
+    times = []
     for _ in range(n):
+        t0 = time.perf_counter()
         out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n * 1000
-    print(f"{name:10s} {dt:9.2f} ms")
+        _force(out)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) * 1000
+    print(f"{name:10s} {dt:9.2f} ms", flush=True)
     return dt
 
 
@@ -61,7 +72,9 @@ def main():
             num_drugs=args.num_drugs, feat_dim=32, avg_degree=args.avg_degree,
             min_atoms=8, max_atoms=40, latent_dim=8, seed=0, name="config4",
         )
-        save_npz_cache(ds, cache)
+        tmp = cache.replace(".npz", ".tmp.npz")
+        save_npz_cache(ds, tmp)
+        _os.replace(tmp, cache)  # atomic: no truncated caches
         print(f"dataset built in {time.perf_counter()-t0:.1f}s (cached)")
 
     fanouts = tuple(int(x) for x in args.fanouts.split(","))
@@ -89,7 +102,7 @@ def main():
     def outer(params, emb, cb):
         og = OuterGraph(
             edge_src=cb.outer_src, edge_dst=cb.outer_dst,
-            edge_weight=cb.outer_weight, num_drugs=cb.drug_budget,
+            edge_weight=cb.outer_weight, num_nodes=cb.drug_budget,
             edge_cap=cb.outer_edge_cap,
         )
         return tr.model.propagate_outer(params, emb, og)
@@ -105,6 +118,14 @@ def main():
     timed(outer_j, params, emb, cb, name="outer")
     timed(score_j, params, emb2, cb, name="score")
     timed(fwd_j, params, cb, tb, name="fwd")
+
+    # backward brackets: grad of progressively larger slices
+    inner_g = jax.jit(jax.grad(lambda p, pb: jnp.sum(inner(p, pb) ** 2)))
+    timed(inner_g, params, pb, name="grad inner")
+    outer_g = jax.jit(jax.grad(lambda p, emb, cb: jnp.sum(outer(p, emb, cb) ** 2)))
+    timed(outer_g, params, emb, cb, name="grad outer")
+    full_g = jax.jit(jax.grad(lambda p, cb, tb: jnp.sum(tr._forward(p, cb, tb) ** 2)))
+    timed(full_g, params, cb, tb, name="grad fwd")
     timed(lambda: tr._train_step(params, opt_state, cb, tb), name="step")
 
 

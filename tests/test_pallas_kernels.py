@@ -174,3 +174,94 @@ def test_gat_training_step_pallas_interpret():
     for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+def test_spmm_precomputed_src_perm_grad_matches_argsort():
+    """The host-precomputed src_perm/src_sorted backward (no device sort)
+    must match both the argsort fallback and the XLA backend, for values and
+    gradients, including padded edges (dst == n)."""
+    from bignn_tpu.sparse.formats import src_sort_arrays
+
+    rng = np.random.default_rng(3)
+    n, e_real, e_cap, f = 48, 400, 512, 16
+    dst = np.sort(rng.integers(0, n, e_real)).astype(np.int32)
+    dst = np.concatenate([dst, np.full(e_cap - e_real, n, np.int32)])
+    src = np.concatenate([
+        rng.integers(0, n, e_real), np.zeros(e_cap - e_real, np.int64)
+    ]).astype(np.int32)
+    w = np.concatenate([
+        rng.random(e_real), np.zeros(e_cap - e_real)
+    ]).astype(np.float32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    perm, ssorted = src_sort_arrays(src)
+    a = [jnp.asarray(v) for v in (x, src, dst, w)]
+    kp = dict(src_perm=jnp.asarray(perm), src_sorted=jnp.asarray(ssorted))
+
+    def loss(x, **kw):
+        with ops.backend_scope("pallas_interpret"):
+            out = ops.spmm_sorted_coo(x, a[1], a[2], a[3], n, **kw)
+        return jnp.sum(out ** 2)
+
+    def loss_xla(x):
+        return jnp.sum(ops.spmm_sorted_coo(x, a[1], a[2], a[3], n, backend="xla") ** 2)
+
+    v_perm, g_perm = jax.value_and_grad(lambda x: loss(x, **kp))(a[0])
+    v_sort, g_sort = jax.value_and_grad(loss)(a[0])
+    v_xla, g_xla = jax.value_and_grad(loss_xla)(a[0])
+    np.testing.assert_allclose(np.asarray(v_perm), np.asarray(v_sort), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_perm), np.asarray(g_sort), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_perm), np.asarray(g_xla), rtol=1e-4, atol=1e-5)
+
+
+def test_multihead_precomputed_src_perm_grads():
+    from bignn_tpu.ops.multihead import spmm_multihead
+    from bignn_tpu.sparse.formats import src_sort_arrays
+
+    rng = np.random.default_rng(4)
+    n, e, h, d = 32, 256, 2, 8
+    dst = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    src = rng.integers(0, n, e).astype(np.int32)
+    alpha = rng.random((e, h)).astype(np.float32)
+    v = rng.normal(size=(n, h, d)).astype(np.float32)
+    perm, ssorted = src_sort_arrays(src)
+
+    def loss(v, alpha, use_perm):
+        kw = (dict(src_perm=jnp.asarray(perm), src_sorted=jnp.asarray(ssorted))
+              if use_perm else {})
+        with ops.backend_scope("pallas_interpret"):
+            out = spmm_multihead(v, jnp.asarray(src), jnp.asarray(dst),
+                                 alpha, n, **kw)
+        return jnp.sum(out ** 2)
+
+    gv_p, ga_p = jax.grad(lambda v, a: loss(v, a, True), argnums=(0, 1))(
+        jnp.asarray(v), jnp.asarray(alpha))
+    gv_s, ga_s = jax.grad(lambda v, a: loss(v, a, False), argnums=(0, 1))(
+        jnp.asarray(v), jnp.asarray(alpha))
+    np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_s), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_s), rtol=1e-4, atol=1e-5)
+
+
+def test_expanded_compact_src_perm_is_valid():
+    """The device-expanded src permutation must sort the expanded edge_src
+    and point at the right edges (resident minibatch path)."""
+    from bignn_tpu.data import HierarchicalSampler, make_synthetic_ddi
+    from bignn_tpu.models import BiGNN, BiGNNConfig
+    from bignn_tpu.train import MinibatchTrainer, TrainConfig
+
+    ds = make_synthetic_ddi(num_drugs=60, feat_dim=8, avg_degree=5.0,
+                            min_atoms=4, max_atoms=9, seed=2)
+    model = BiGNN(BiGNNConfig.config1(feat_dim=8))
+    tr = MinibatchTrainer(model, ds, TrainConfig(batch_size=16),
+                          fanouts=(4,), resident=True)
+    cb = jax.tree.map(jnp.asarray, tr.sampler.sample_compact())
+    pb = jax.jit(tr._expand_compact)(cb, tr.tables)
+    src = np.asarray(pb.edge_src)
+    perm = np.asarray(pb.edge_src_perm)
+    ssorted = np.asarray(pb.edge_src_sorted)
+    dst = np.asarray(pb.edge_dst)
+    real = dst < pb.node_cap
+    n_real = int(real.sum())
+    # permutation bijective over the real prefix, sorted ids ascending
+    assert sorted(perm[:n_real]) == list(range(n_real))
+    assert np.all(np.diff(ssorted) >= 0)
+    np.testing.assert_array_equal(ssorted[:n_real], src[perm[:n_real]])
+    assert np.all(ssorted[n_real:] == pb.node_cap)
