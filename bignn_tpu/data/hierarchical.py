@@ -220,7 +220,17 @@ class HierarchicalSampler:
         self.drug_budget = max(min(budget, self.num_nodes), seeds)
         max_atoms = max(m.num_nodes for m in ds.molecules)
         max_bonds = max(m.num_edges for m in ds.molecules)
-        self.node_cap = _round_up(self.drug_budget * max_atoms, 8)
+        # block-local layout (ops/pallas/block_spmm.py): molecules <= 128
+        # atoms are packed whole into 128-row blocks by the resident
+        # expansion, so the fused in-VMEM SpMM kernel applies. node_cap must
+        # absorb the packing gaps: at least floor(128/max_atoms) molecules
+        # always fit per block.
+        self.block_local = max_atoms <= 128
+        if self.block_local:
+            per_block = max(128 // max_atoms, 1)
+            self.node_cap = _round_up(-(-self.drug_budget // per_block) * 128, 8)
+        else:
+            self.node_cap = _round_up(self.drug_budget * max_atoms, 8)
         self.edge_cap = _round_up(self.drug_budget * (max_bonds + max_atoms), 128)
         # sampled tree edges (both directions) + self loops
         self.outer_edge_cap = _round_up(2 * tree_edges + self.drug_budget, 128)

@@ -138,6 +138,11 @@ class BiGNN:
         readout = parse_readout(self.config.readout, inner_dim)
         params = self.cast(params)
         x = batch.node_feat.astype(self.compute_dtype)
+        block_plan = None
+        if batch.block_estarts is not None:
+            block_plan = (batch.block_estarts, batch.edge_tsrc,
+                          batch.edge_tdst, batch.edge_tweight,
+                          batch.block_tstarts)
         for i, conv in enumerate(inner):
             x = conv.apply(
                 params["inner"][f"layer_{i}"],
@@ -148,6 +153,7 @@ class BiGNN:
                 batch.node_cap,
                 src_perm=batch.edge_src_perm,
                 src_sorted=batch.edge_src_sorted,
+                block_plan=block_plan,
             )
         return readout.apply(
             params["readout"], x, batch.graph_ids, batch.num_graphs, batch.graph_n_nodes

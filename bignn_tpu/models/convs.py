@@ -25,7 +25,7 @@ from bignn_tpu.ops import (
     spmm_multihead,
     spmm_sorted_coo,
 )
-from bignn_tpu.ops.gather import gather_rows
+from bignn_tpu.ops.gather import gather_rows, gather_rows_sorted_grad
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,12 +47,13 @@ class GCNConv:
         }
 
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
-              src_perm=None, src_sorted=None):
+              src_perm=None, src_sorted=None, block_plan=None):
         h = jnp.dot(
             x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)
         agg = spmm_sorted_coo(h, edge_src, edge_dst, edge_weight, num_nodes,
-                              src_perm=src_perm, src_sorted=src_sorted)
+                              src_perm=src_perm, src_sorted=src_sorted,
+                              block_plan=block_plan)
         return parse_activation(self.activation)(agg + params["b"]).astype(x.dtype)
 
 
@@ -77,10 +78,11 @@ class GINConv:
         return {"mlp": mlp.init(key), "eps": jnp.zeros((), jnp.float32)}
 
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
-              src_perm=None, src_sorted=None):
+              src_perm=None, src_sorted=None, block_plan=None):
         del edge_weight  # GIN ignores GCN normalization
         agg = spmm_sorted_coo(x, edge_src, edge_dst, None, num_nodes,
-                              src_perm=src_perm, src_sorted=src_sorted)
+                              src_perm=src_perm, src_sorted=src_sorted,
+                              block_plan=block_plan)
         hidden = self.hidden_dim or self.out_dim
         mlp = MLP((self.in_dim, hidden, self.out_dim), self.activation)
         out = mlp.apply(params["mlp"], agg + params["eps"] * x)
@@ -122,8 +124,8 @@ class GATConv:
         }
 
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
-              src_perm=None, src_sorted=None):
-        del edge_weight  # attention replaces fixed normalization
+              src_perm=None, src_sorted=None, block_plan=None):
+        del edge_weight, block_plan  # attention replaces fixed normalization
         H, D = self.heads, self.head_dim
         h = jnp.dot(
             x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32
@@ -131,7 +133,10 @@ class GATConv:
         hh = h.reshape(-1, H, D)
         score_l = jnp.sum(hh * params["a_l"], axis=-1)  # [N, H] (dst part)
         score_r = jnp.sum(hh * params["a_r"], axis=-1)  # [N, H] (src part)
-        e = gather_rows(score_l, edge_dst) + gather_rows(score_r, edge_src)
+        # sorted-scatter backward: dst is sorted; src uses the precomputed
+        # source-sort permutation (ops/gather.py — no scatter HLO)
+        e = gather_rows_sorted_grad(score_l, edge_dst) + gather_rows_sorted_grad(
+            score_r, edge_src, perm=src_perm, ids_sorted=src_sorted)
         e = jax.nn.leaky_relu(e, self.negative_slope)  # [E, H]
         alpha = segment_softmax(e, edge_dst, num_nodes)  # [E, H]
         agg = spmm_multihead(hh, edge_src, edge_dst, alpha.astype(x.dtype), num_nodes,
@@ -173,8 +178,8 @@ class DotAttnConv:
         }
 
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
-              src_perm=None, src_sorted=None):
-        del edge_weight
+              src_perm=None, src_sorted=None, block_plan=None):
+        del edge_weight, block_plan
         H, D = self.heads, self.head_dim
         def _proj(w):
             return jnp.dot(

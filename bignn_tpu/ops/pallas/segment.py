@@ -260,14 +260,54 @@ def segment_softmax_pallas(
     *,
     interpret: bool = False,
 ) -> jax.Array:
-    """Sorted-segment softmax.
+    """Sorted-segment softmax with an analytic custom VJP.
 
-    The scatter-heavy piece (the exp-sum denominator) runs on the Pallas
-    segment-sum kernel; the per-segment max — small [E, H<=8] traffic — stays
-    on XLA segment_max. Out-of-range (padding) rows produce unspecified
-    values that downstream segment reductions drop (same contract as the XLA
-    backend in ops/segment.py).
+    Forward: the scatter-heavy piece (the exp-sum denominator) runs on the
+    Pallas segment-sum kernel; the per-segment max — small [E, H<=8]
+    traffic — stays on XLA segment_max. Padding rows (id >= num_segments)
+    produce exactly 0.
+
+    Backward: the naive AD of ``expd / denom[ids]`` scatters through the
+    denominator gather (unsorted scatter HLO, ~hundreds of ms at 500K edges
+    on TPU). The standard softmax jacobian needs none of that:
+        d_scores = alpha * g  -  alpha * segsum(alpha * g)[ids]
+    one sorted segment-sum + one gather.
     """
+    return _segment_softmax_vjp(scores, segment_ids, num_segments, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _segment_softmax_vjp(scores, segment_ids, num_segments, interpret):
+    return _segment_softmax_fwd_impl(scores, segment_ids, num_segments,
+                                     interpret)
+
+
+def _segment_softmax_fwd(scores, segment_ids, num_segments, interpret):
+    alpha = _segment_softmax_fwd_impl(scores, segment_ids, num_segments,
+                                      interpret)
+    return alpha, (alpha, segment_ids)
+
+
+def _segment_softmax_bwd(num_segments, interpret, res, g):
+    alpha, segment_ids = res
+    squeeze = alpha.ndim == 1
+    a = alpha[:, None] if squeeze else alpha
+    gg = g[:, None] if g.ndim == 1 else g
+    t = a * gg
+    s = segment_sum_pallas(t, segment_ids, num_segments, interpret=interpret)
+    d = t - a * jnp.take(s, segment_ids, axis=0, mode="clip")
+    return (d[:, 0] if squeeze else d).astype(alpha.dtype), None
+
+
+_segment_softmax_vjp.defvjp(_segment_softmax_fwd, _segment_softmax_bwd)
+
+
+def _segment_softmax_fwd_impl(
+    scores: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    interpret: bool = False,
+) -> jax.Array:
     squeeze = scores.ndim == 1
     if squeeze:
         scores = scores[:, None]

@@ -30,6 +30,7 @@ def spmm_sorted_coo(
     *,
     src_perm: jax.Array | None = None,  # [E] argsort(src), precomputed on host
     src_sorted: jax.Array | None = None,  # [E] src[src_perm]
+    block_plan: tuple | None = None,  # (estarts, tsrc, tdst, tw, tstarts)
     backend: str | None = None,
 ) -> jax.Array:
     """Compute ``out[i] = sum_{e: dst[e]==i} weight[e] * x[src[e]]``.
@@ -37,9 +38,22 @@ def spmm_sorted_coo(
     ``src_perm``/``src_sorted`` (optional, static per graph) let the pallas
     backward run its scatter as a sorted segment-sum with **no device sort**;
     without them it argsorts ``src`` per step.
+
+    ``block_plan`` (optional) activates the fused block-local VMEM kernel
+    (ops/pallas/block_spmm.py) — valid only when the layout packs each inner
+    graph wholly inside one 128-row block.
     """
     b = get_backend(backend)
     if b in ("pallas", "pallas_interpret"):
+        if block_plan is not None:
+            from bignn_tpu.ops.pallas.block_spmm import block_spmm
+
+            estarts, tsrc, tdst, tw, tstarts = block_plan
+            return block_spmm(
+                x, src, dst, weight, estarts, tsrc, tdst,
+                None if weight is None else tw, tstarts, num_out,
+                interpret=(b == "pallas_interpret"),
+            )
         from bignn_tpu.ops.pallas.spmm import spmm_pallas
 
         return spmm_pallas(

@@ -107,6 +107,15 @@ class PaddedGraphBatch:
     # device sort (ops/pallas/spmm.py).
     edge_src_perm: np.ndarray | None = None
     edge_src_sorted: np.ndarray | None = None
+    # optional block-local plan (ops/pallas/block_spmm.py): set when every
+    # inner graph lies wholly inside one 128-row block. estarts give each
+    # block's edge range; (tsrc, tdst, tweight, tstarts) are the transposed
+    # (source-sorted) edge list for the backward pass.
+    block_estarts: np.ndarray | None = None
+    edge_tsrc: np.ndarray | None = None
+    edge_tdst: np.ndarray | None = None
+    edge_tweight: np.ndarray | None = None
+    block_tstarts: np.ndarray | None = None
 
 
 @struct.dataclass

@@ -228,6 +228,7 @@ class MinibatchTrainer:
         expanded edge list is globally dst-sorted with zero per-step sorting.
         """
         D, NC, EC = cb.drug_budget, cb.node_cap, cb.edge_cap
+        block_local = getattr(self.sampler, "block_local", False)
         nodes = cb.nodes.astype(jnp.int32)
         slot_valid = jnp.arange(D) < cb.n_real
         mol_ptr = tb.mol_ptr.astype(jnp.int32)
@@ -235,18 +236,35 @@ class MinibatchTrainer:
             slot_valid, jnp.take(mol_ptr, nodes + 1, mode="clip")
             - jnp.take(mol_ptr, nodes, mode="clip"), 0
         )
-        cum = jnp.cumsum(n_per)  # [D]
-        total = cum[-1]
+        if block_local:
+            # pack molecules whole into 128-row blocks (block-local SpMM
+            # layout contract). The scan runs on the scalar core — D tiny
+            # steps, ~0.1 ms — and keeps CompactBatch free of layout fields.
+            def pack(pos, n):
+                crosses = (pos % 128) + n > 128
+                aligned = jnp.where(crosses, ((pos + 127) // 128) * 128, pos)
+                return aligned + n, aligned
+
+            end, off = jax.lax.scan(pack, jnp.int32(0), n_per)
+        else:
+            cum = jnp.cumsum(n_per)
+            end = cum[-1]
+            off = jnp.concatenate([jnp.zeros(1, cum.dtype), cum[:-1]])
         row_pos = jnp.arange(NC, dtype=jnp.int32)
-        slot = self._rank_slots(cum, NC)  # [NC] in [0, D]
+        # slot[p] = index of the last molecule starting at or before p;
+        # empty/padding slots dedup via the validity check below (they form
+        # a suffix, so real rows always rank to their own molecule).
+        off_eff = jnp.where(n_per > 0, off, NC)
+        slot = jnp.maximum(self._rank_slots(off_eff, NC) - 1, 0)  # [NC]
         slot_c = jnp.minimum(slot, D - 1)
-        cum0 = jnp.concatenate([jnp.zeros(1, cum.dtype), cum])
+        local_row = row_pos - jnp.take(off, slot_c, mode="clip")
+        row_valid = (local_row >= 0) & (
+            local_row < jnp.take(n_per, slot_c, mode="clip"))
         base = jnp.take(mol_ptr, jnp.take(nodes, slot_c), mode="clip")
-        node_rows = base + (row_pos - jnp.take(cum0, slot, mode="clip"))
-        row_valid = row_pos < total
+        node_rows = base + local_row
         node_feat = jnp.where(
             row_valid[:, None],
-            jnp.take(tb.feat, node_rows, axis=0, mode="clip"),
+            jnp.take(tb.feat, jnp.maximum(node_rows, 0), axis=0, mode="clip"),
             0.0,
         )
         graph_ids = jnp.where(row_valid, slot_c, D).astype(jnp.int32)
@@ -266,7 +284,8 @@ class MinibatchTrainer:
             epos - jnp.take(ecum0, eslot, mode="clip")
         )
         evalid = epos < etotal
-        node_off = cum0[eslot_c]  # node offset of the edge's molecule
+        # node offset of the edge's molecule — the (block-)packed placement
+        node_off = jnp.take(off, eslot_c, mode="clip")
         edge_src = jnp.where(
             evalid, jnp.take(tb.edge_src, erows, mode="clip") + node_off, 0
         ).astype(jnp.int32)
@@ -289,6 +308,25 @@ class MinibatchTrainer:
         ssorted = jnp.where(
             evalid, jnp.take(tb.edge_ssorted, erows, mode="clip") + node_off, NC
         ).astype(jnp.int32)
+        if block_local:
+            from bignn_tpu.ops.pallas.block_spmm import block_estarts
+
+            # transposed (src-sorted) edge list for the block-local backward:
+            # tdst = ssorted; tsrc/tw permuted into the same order
+            tsrc = jnp.take(edge_dst, sperm, mode="clip")
+            tsrc = jnp.where(ssorted < NC, tsrc, 0)
+            tw = jnp.take(edge_w, sperm, mode="clip")
+            estarts = block_estarts(edge_dst, NC)
+            tstarts = block_estarts(ssorted, NC)
+            block = dict(
+                block_estarts=estarts,
+                edge_tsrc=tsrc,
+                edge_tdst=ssorted,
+                edge_tweight=tw,
+                block_tstarts=tstarts,
+            )
+        else:
+            block = {}
         return PaddedGraphBatch(
             node_feat=node_feat,
             node_mask=row_valid.astype(jnp.float32),
@@ -302,6 +340,7 @@ class MinibatchTrainer:
             edge_cap=EC,
             edge_src_perm=sperm,
             edge_src_sorted=ssorted,
+            **block,
         )
 
     # -- jitted bodies ---------------------------------------------------
