@@ -72,8 +72,13 @@ def main() -> None:
     # — the metric follows BASELINE.json:2 "outer+inner aggregate edges/s")
     n_inner_layers = len(model.config.inner_layers)
     n_outer_layers = len(model.config.outer_layers)
-    inner_edges = sum(b.edge_cap for b in data.bucketing.batches)
-    outer_edges = data.outer.edge_cap
+    # REAL edges, not padded caps — padding must not inflate the metric
+    inner_edges = sum(
+        int((np.asarray(b.edge_dst) < b.node_cap).sum())
+        for b in data.bucketing.batches
+    )
+    outer_edges = int(
+        (np.asarray(data.outer.edge_dst) < data.outer.num_nodes).sum())
     edges_per_step = inner_edges * n_inner_layers + outer_edges * n_outer_layers
 
     rng = np.random.default_rng(0)

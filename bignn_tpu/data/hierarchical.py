@@ -138,13 +138,26 @@ class HierarchicalSampler:
         fanouts: tuple[int, ...] = (10,),
         seed: int = 0,
         max_drugs: int | None = None,
+        calibrate_caps: int = 8,
     ):
         """``max_drugs`` caps the per-batch drug budget (and with it every
         derived cap); beyond it the BFS node list is truncated — seeds come
         first, so scoring pairs are never dropped, only far neighbors. The
         default (None) uses the worst-case fanout expansion, which saturates
         at num_drugs for deep fanouts on large graphs — set a budget there
-        (config #4 does)."""
+        (config #4 does).
+
+        Static caps are STATISTICAL, not worst-case: per-batch node/edge
+        totals are sums over thousands of sampled molecules, so they
+        concentrate tightly (CLT) — the edge cap tracks mean + 8 sigma
+        instead of drug_budget * max_molecule_edges (2.4x smaller at
+        config-#4 scale, and every EC-proportional device cost shrinks with
+        it). Overflow is handled by seed-preserving prefix truncation in
+        _subgraph_from_pairs: far neighbors are dropped, scoring pairs
+        never. ``calibrate_caps`` > 0 additionally draws that many throwaway
+        batches at init to bound the outer-subgraph edge cap empirically
+        (its dedup/filter pipeline has no tight closed form); 0 keeps the
+        worst-case outer cap."""
         self.ds = ds
         self.batch_size = batch_size
         self.neg_ratio = neg_ratio
@@ -251,8 +264,36 @@ class HierarchicalSampler:
         else:
             self.node_cap = _round_up(self.drug_budget * max_atoms, 8)
         self.edge_cap = _round_up(self.drug_budget * (max_bonds + max_atoms), 128)
+        # statistical edge cap (class doc): min with the dense worst case so
+        # small datasets keep exact bounds and never truncate
+        e_per_all = np.diff(self._tbl_eptr)
+        stat_e = int(
+            self.drug_budget * float(e_per_all.mean())
+            + 8.0 * float(e_per_all.std()) * np.sqrt(self.drug_budget)
+            + float(e_per_all.max())
+        )
+        self.edge_cap = min(self.edge_cap, _round_up(stat_e, 128))
+        if not self.block_local:
+            n_per_all = np.diff(self._mol_ptr)
+            stat_n = int(
+                self.drug_budget * float(n_per_all.mean())
+                + 8.0 * float(n_per_all.std()) * np.sqrt(self.drug_budget)
+                + float(n_per_all.max())
+            )
+            self.node_cap = min(self.node_cap, _round_up(stat_n, 8))
         # sampled tree edges (both directions) + self loops
         self.outer_edge_cap = _round_up(2 * tree_edges + self.drug_budget, 128)
+        if calibrate_caps:
+            rng_c = np.random.default_rng(seed + 0xC0FFEE)
+            max_oe = 0
+            for _ in range(calibrate_caps):
+                pairs, labels = self._draw_pairs(rng_c)
+                _, su, _, _, _, _, _ = self._subgraph_from_pairs(pairs, labels)
+                max_oe = max(max_oe, len(su))
+            self.outer_edge_cap = min(
+                self.outer_edge_cap,
+                _round_up(int(max_oe * 1.15) + 2 * self.batch_size + 128, 128),
+            )
 
     def __len__(self) -> int:
         return -(-len(self.train_pairs) // self.batch_size)
@@ -318,12 +359,12 @@ class HierarchicalSampler:
     def pair_cap(self) -> int:
         return self.batch_size * (1 + self.neg_ratio)
 
-    def sample(self) -> HierarchicalBatch:
-        rng = self._rng
+    def _draw_pairs(self, rng=None) -> tuple[np.ndarray, np.ndarray]:
+        """Positive minibatch + host-sampled negative corruptions."""
+        rng = rng if rng is not None else self._rng
         bs = self.batch_size
         idx = rng.choice(len(self.train_pairs), bs, replace=len(self.train_pairs) < bs)
         pos = self.train_pairs[idx]
-        # host-sampled negative corruptions (endpoints must join the subgraph)
         negs = []
         for _ in range(self.neg_ratio):
             corrupt_right = rng.random(bs) < 0.5
@@ -335,7 +376,10 @@ class HierarchicalSampler:
         labels = np.concatenate(
             [np.ones(bs, np.float32), np.zeros(bs * self.neg_ratio, np.float32)]
         )
-        return self.batch_from_pairs(all_pairs, labels)
+        return all_pairs, labels
+
+    def sample(self) -> HierarchicalBatch:
+        return self.batch_from_pairs(*self._draw_pairs())
 
     def _subgraph_from_pairs(self, all_pairs: np.ndarray, labels: np.ndarray):
         """Shared front half: pad pairs, sample the neighborhood, build the
@@ -355,6 +399,19 @@ class HierarchicalSampler:
         nodes, es, ed = self._sample_neighbors(seeds)
         if len(nodes) > self.drug_budget:  # cap overflow: keep seeds first
             nodes = nodes[: self.drug_budget]
+        # seed-preserving prefix truncation against the statistical caps:
+        # BFS order puts seeds first, so only far neighbors are dropped
+        e_cum = np.cumsum(self._tbl_eptr[nodes + 1] - self._tbl_eptr[nodes])
+        keep = int(np.searchsorted(e_cum, self.edge_cap, side="right"))
+        if not self.block_local:
+            n_cum = np.cumsum(self._mol_ptr[nodes + 1] - self._mol_ptr[nodes])
+            keep = min(keep, int(np.searchsorted(n_cum, self.node_cap,
+                                                 side="right")))
+        if keep < len(nodes):
+            if keep < len(seeds):
+                raise ValueError(
+                    f"node/edge caps too small for the {len(seeds)}-seed set")
+            nodes = nodes[:keep]
         n_loc = len(nodes)
         local_arr = np.full(self.num_nodes, -1, np.int64)
         local_arr[nodes] = np.arange(n_loc)
@@ -495,20 +552,4 @@ class HierarchicalSampler:
         )
 
     def sample_compact(self) -> CompactBatch:
-        rng = self._rng
-        bs = self.batch_size
-        idx = rng.choice(len(self.train_pairs), bs,
-                         replace=len(self.train_pairs) < bs)
-        pos = self.train_pairs[idx]
-        negs = []
-        for _ in range(self.neg_ratio):
-            corrupt_right = rng.random(bs) < 0.5
-            rand = rng.integers(0, self.num_nodes, bs)
-            nu = np.where(corrupt_right, pos[:, 0], rand)
-            nv = np.where(corrupt_right, rand, pos[:, 1])
-            negs.append(np.stack([nu, nv], 1))
-        all_pairs = np.concatenate([pos] + negs, axis=0)
-        labels = np.concatenate(
-            [np.ones(bs, np.float32), np.zeros(bs * self.neg_ratio, np.float32)]
-        )
-        return self.compact_from_pairs(all_pairs, labels)
+        return self.compact_from_pairs(*self._draw_pairs())

@@ -179,6 +179,7 @@ class MinibatchTrainer:
         fanouts: tuple[int, ...] = (10,),
         max_drugs: int | None = None,
         resident: bool = True,
+        calibrate_caps: int = 8,
     ):
         """``resident=True`` (default) uploads the per-molecule tables to the
         device once and ships only index-sized batches per step (CompactBatch
@@ -195,6 +196,7 @@ class MinibatchTrainer:
             fanouts=fanouts,
             seed=config.seed,
             max_drugs=max_drugs,
+            calibrate_caps=calibrate_caps,
         )
         self.optimizer = (
             optax.adamw(config.lr, weight_decay=config.weight_decay)

@@ -77,9 +77,24 @@ def main():
     params, opt_state, loss = tr._train_step(params, opt_state, hb_d, tr.tables)
     print(f"compiled; first loss {float(loss):.4f}", flush=True)
 
-    edges_per_step = (
-        s.edge_cap * len(model.config.inner_layers)
-        + s.outer_edge_cap * len(model.config.outer_layers)
+    # REAL aggregated edges per step (not the static caps — padding must not
+    # inflate the metric): median molecule-edge total + median live outer
+    # edges over a few sampled batches.
+    import numpy as _np
+    e_per_all = _np.diff(s._tbl_eptr)
+    probes = []
+    for _ in range(5):
+        cbp = s.sample_compact()
+        k = int(cbp.n_real)
+        probes.append((
+            int(e_per_all[cbp.nodes[:k]].sum()),
+            int((cbp.outer_dst < s.drug_budget).sum()),
+        ))
+    inner_real = float(_np.median([p[0] for p in probes]))
+    outer_real = float(_np.median([p[1] for p in probes]))
+    edges_per_step = int(
+        inner_real * len(model.config.inner_layers)
+        + outer_real * len(model.config.outer_layers)
     )
     # diagnostic pass: per-step host/device split, forced each step.
     # Medians, not means — a single straggler (e.g. a latent recompile)
