@@ -24,6 +24,7 @@ import dataclasses
 import numpy as np
 from flax import struct
 
+from bignn_tpu import native
 from bignn_tpu.data.schema import DDIDataset
 from bignn_tpu.sparse.formats import COOGraph, _build_sorted, src_sort_arrays
 
@@ -55,6 +56,9 @@ class CompactBatch:
 
     nodes: np.ndarray  # [drug_budget] int32 sampled drug ids; pad 0 (masked)
     n_real: np.ndarray  # [] int32 number of real sampled drugs
+    # block-local layout (host greedy packing; zeros when not block-local):
+    pack_off: np.ndarray  # [drug_budget] int32 packed row offset per slot
+    block_slot0: np.ndarray  # [node_cap/128 + 1] int32 first slot of block b
     outer_src: np.ndarray  # [outer_edge_cap]
     outer_dst: np.ndarray  # [outer_edge_cap] sorted; pad -> drug_budget
     outer_weight: np.ndarray
@@ -285,15 +289,26 @@ class HierarchicalSampler:
         self.outer_edge_cap = _round_up(2 * tree_edges + self.drug_budget, 128)
         if calibrate_caps:
             rng_c = np.random.default_rng(seed + 0xC0FFEE)
-            max_oe = 0
+            max_oe, max_ext = 0, 0
             for _ in range(calibrate_caps):
                 pairs, labels = self._draw_pairs(rng_c)
-                _, su, _, _, _, _, _ = self._subgraph_from_pairs(pairs, labels)
+                nodes_c, su, _, _, _, _, _, off_c = self._subgraph_from_pairs(
+                    pairs, labels)
                 max_oe = max(max_oe, len(su))
+                if off_c is not None and len(off_c):
+                    last_n = int(
+                        self._mol_ptr[nodes_c[-1] + 1]
+                        - self._mol_ptr[nodes_c[-1]])
+                    max_ext = max(max_ext, int(off_c[-1]) + last_n)
             self.outer_edge_cap = min(
                 self.outer_edge_cap,
                 _round_up(int(max_oe * 1.15) + 2 * self.batch_size + 128, 128),
             )
+            if self.block_local and max_ext:
+                # greedy-packed node extent concentrates like the edge total;
+                # keep a multiple of 128 (the block grid granule)
+                self.node_cap = min(
+                    self.node_cap, _round_up(int(max_ext * 1.08) + 256, 128))
 
     def __len__(self) -> int:
         return -(-len(self.train_pairs) // self.batch_size)
@@ -403,7 +418,17 @@ class HierarchicalSampler:
         # BFS order puts seeds first, so only far neighbors are dropped
         e_cum = np.cumsum(self._tbl_eptr[nodes + 1] - self._tbl_eptr[nodes])
         keep = int(np.searchsorted(e_cum, self.edge_cap, side="right"))
-        if not self.block_local:
+        off = None
+        if self.block_local:
+            # host greedy packing of molecules into 128-row blocks (the
+            # block-local SpMM layout); node truncation = the longest packed
+            # prefix whose extent fits node_cap (end offsets are monotone)
+            sizes = (self._mol_ptr[nodes + 1] - self._mol_ptr[nodes])
+            off, _ = native.greedy_pack_blocks(sizes.astype(np.int32), 128)
+            ends = off + sizes.astype(np.int32)
+            keep = min(keep, int(np.searchsorted(ends, self.node_cap,
+                                                 side="right")))
+        else:
             n_cum = np.cumsum(self._mol_ptr[nodes + 1] - self._mol_ptr[nodes])
             keep = min(keep, int(np.searchsorted(n_cum, self.node_cap,
                                                  side="right")))
@@ -412,6 +437,8 @@ class HierarchicalSampler:
                 raise ValueError(
                     f"node/edge caps too small for the {len(seeds)}-seed set")
             nodes = nodes[:keep]
+            if off is not None:
+                off = off[:keep]
         n_loc = len(nodes)
         local_arr = np.full(self.num_nodes, -1, np.int64)
         local_arr[nodes] = np.arange(n_loc)
@@ -443,7 +470,7 @@ class HierarchicalSampler:
         pairs_local = np.stack(
             [np.maximum(pa, 0), np.maximum(pb, 0)], axis=1
         ).astype(np.int32)
-        return nodes, su, sv, w, pairs_local, labels, valid
+        return nodes, su, sv, w, pairs_local, labels, valid, off
 
     def batch_from_pairs(
         self, all_pairs: np.ndarray, labels: np.ndarray
@@ -451,9 +478,8 @@ class HierarchicalSampler:
         """Fixed-shape batch with host-gathered molecule arrays — used where
         the data is small or device tables are not set up; see
         compact_from_pairs for the device-resident path."""
-        nodes, su, sv, w, pairs_local, labels, valid = self._subgraph_from_pairs(
-            all_pairs, labels
-        )
+        nodes, su, sv, w, pairs_local, labels, valid, _ = (
+            self._subgraph_from_pairs(all_pairs, labels))
         n_loc = len(nodes)
         oe_cap = self.outer_edge_cap
 
@@ -522,9 +548,8 @@ class HierarchicalSampler:
         self, all_pairs: np.ndarray, labels: np.ndarray
     ) -> CompactBatch:
         """Index-only batch: per-step H2D is nodes + outer subgraph + pairs."""
-        nodes, su, sv, w, pairs_local, labels, valid = self._subgraph_from_pairs(
-            all_pairs, labels
-        )
+        nodes, su, sv, w, pairs_local, labels, valid, off = (
+            self._subgraph_from_pairs(all_pairs, labels))
         D, oe_cap = self.drug_budget, self.outer_edge_cap
 
         def pad(x, cap, fill, dtype=None):
@@ -534,9 +559,23 @@ class HierarchicalSampler:
 
         outer_src_p = pad(su.astype(np.int32), oe_cap, 0)
         osperm, ossorted = src_sort_arrays(outer_src_p)
+        if off is not None:
+            # block b's first slot (for block edge ranges on device); blocks
+            # past the packed extent map to n_loc -> empty edge ranges
+            nblocks = self.node_cap // 128
+            blk_of_slot = off.astype(np.int64) // 128
+            block_slot0 = np.searchsorted(
+                blk_of_slot, np.arange(nblocks + 1), side="left"
+            ).astype(np.int32)
+            pack_off = pad(off, D, int(off[-1]) if len(off) else 0)
+        else:
+            pack_off = np.zeros(D, np.int32)
+            block_slot0 = np.zeros(1, np.int32)
         return CompactBatch(
             nodes=pad(nodes.astype(np.int32), D, 0),
             n_real=np.int32(len(nodes)),
+            pack_off=pack_off,
+            block_slot0=block_slot0,
             outer_src=outer_src_p,
             outer_dst=pad(sv.astype(np.int32), oe_cap, D),
             outer_weight=pad(w, oe_cap, 0.0),

@@ -57,6 +57,10 @@ def _load():
     lib.partition_edges_hash.argtypes = [
         ctypes.c_int64, i32p, i32p, ctypes.c_int32, i32p,
     ]
+    lib.greedy_pack_blocks.restype = ctypes.c_int64
+    lib.greedy_pack_blocks.argtypes = [
+        ctypes.c_int64, i32p, ctypes.c_int32, i32p,
+    ]
     _lib = lib
     return _lib
 
@@ -137,3 +141,35 @@ def partition_edges_hash(
     out = np.empty(len(src), np.int32)
     lib.partition_edges_hash(len(src), src, dst, n_parts, out)
     return out
+
+
+def greedy_pack_blocks(
+    sizes: np.ndarray, block_rows: int = 128
+) -> tuple[np.ndarray, int]:
+    """Greedy first-fit packing of items into fixed block_rows-row blocks
+    (no item straddles a boundary). Returns (off [n] int32, extent rows).
+
+    Native: single O(n) pass. Fallback (no toolchain): FIXED-stride packing —
+    floor(block_rows / max_size) items per block — which satisfies the same
+    layout contract with a larger extent, so callers need no special-casing.
+    """
+    sizes = np.ascontiguousarray(sizes, np.int32)
+    n = len(sizes)
+    lib = _load()
+    if lib is not None:
+        off = np.empty(n, np.int32)
+        extent = int(lib.greedy_pack_blocks(n, sizes, block_rows, off))
+        if extent >= 0:
+            return off, extent
+    mx = int(sizes.max()) if n else 1
+    if mx > block_rows:
+        raise ValueError(f"item size {mx} > block_rows {block_rows}")
+    per = max(block_rows // max(mx, 1), 1)
+    blk, lane = np.arange(n) // per, np.arange(n) % per
+    nb = int(blk[-1]) + 1 if n else 0
+    within = np.zeros((nb, per), np.int64)
+    within[blk, lane] = sizes
+    within = np.cumsum(within, axis=1) - within
+    off = (blk * block_rows + within[blk, lane]).astype(np.int32)
+    extent = int(off[-1] + sizes[-1]) if n else 0
+    return off, extent

@@ -247,20 +247,10 @@ class MinibatchTrainer:
             jnp.take(mol_ptr, nodes + 1, mode="clip") - mol_start, 0
         )
         if block_local:
-            # pack a fixed number of molecules into each 128-row block
-            # (block-local SpMM layout contract), fully vectorized: slot i
-            # goes to block i // per_block at the within-block running sum.
-            # node_cap is sized as ceil(D/per_block)*128, so this always
-            # fits; offsets are strictly increasing across real slots.
-            per_block = self.sampler.mols_per_block
-            nb = -(-D // per_block)
-            n_pad = jnp.pad(n_per, (0, nb * per_block - D)).reshape(
-                nb, per_block)
-            within = jnp.cumsum(n_pad, axis=1) - n_pad
-            off = (
-                jnp.arange(nb, dtype=jnp.int32)[:, None] * 128
-                + within.astype(jnp.int32)
-            ).reshape(-1)[:D]
+            # host greedy packing (native.greedy_pack_blocks): molecules
+            # never straddle 128-row blocks, offsets strictly increase
+            # across real slots. Ships as [D] int32 in the CompactBatch.
+            off = cb.pack_off.astype(jnp.int32)
         else:
             cum = jnp.cumsum(n_per)
             off = jnp.concatenate([jnp.zeros(1, cum.dtype), cum[:-1]])
@@ -332,15 +322,14 @@ class MinibatchTrainer:
                 evalid,
                 jax.lax.bitcast_convert_type(packed[:, 6], jnp.float32), 0.0,
             )
-            # block edge ranges: molecules in block b are exactly slots
-            # [b*per_block, (b+1)*per_block) (fixed packing above), so
-            # estarts[b] = ecum0[min(b*per_block, D)] — no searchsorted
-            # over the [EC] dst list. The src-sorted list shares the block
-            # structure (same molecules, same offsets), so tstarts == estarts.
-            bidx = jnp.minimum(
-                jnp.arange(NC // 128 + 1, dtype=jnp.int32)
-                * self.sampler.mols_per_block, D)
-            estarts = jnp.take(ecum0, bidx, mode="clip").astype(jnp.int32)
+            # block edge ranges: block b's molecules start at host-computed
+            # slot block_slot0[b], so estarts[b] = ecum0[block_slot0[b]] —
+            # no searchsorted over the [EC] dst list. The src-sorted list
+            # shares the block structure (same molecules, same offsets),
+            # so tstarts == estarts.
+            estarts = jnp.take(
+                ecum0, cb.block_slot0.astype(jnp.int32), mode="clip"
+            ).astype(jnp.int32)
             block = dict(
                 block_estarts=estarts,
                 edge_tsrc=tsrc,

@@ -118,4 +118,27 @@ void partition_edges_hash(
   }
 }
 
+// Greedy first-fit packing of items (sizes[i] rows, each <= block_rows)
+// into fixed block_rows-row blocks in slot order, never straddling a block
+// boundary. Writes off[i] = packed row offset of item i; returns the packed
+// extent in rows (a multiple of the last partial block's end, not rounded).
+// Used by the hierarchical sampler's block-local molecule layout — the
+// per-step hot path where a Python loop over ~16K molecules is too slow.
+int64_t greedy_pack_blocks(
+    int64_t n,
+    const int32_t* sizes,
+    int32_t block_rows,
+    int32_t* off) {
+  int64_t pos = 0;
+  const int64_t b = block_rows;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t s = sizes[i];
+    if (s > b || s < 0) return -1;
+    if (pos % b + s > b) pos = (pos / b + 1) * b;
+    off[i] = static_cast<int32_t>(pos);
+    pos += s;
+  }
+  return pos;
+}
+
 }  // extern "C"
