@@ -77,10 +77,15 @@ class CompactBatch:
 class MoleculeTables:
     """Device-resident per-molecule arrays (uploaded once).
 
-    All seven per-edge fields live in ONE [sum_e, 8] int32 row table
-    (``edge_packed``): TPU 1D gathers move ~1 element per cycle regardless
-    of width, so seven separate [EC] gathers cost ~7x one [EC, 8] row
-    gather (measured 40 ms vs 53 ms at EC=2.3M on v5e). Columns:
+    All seven per-edge fields live in ONE int32 row table (``edge_packed``):
+    TPU 1D gathers move ~1 element per cycle regardless of width, so seven
+    separate [EC] gathers cost ~7x one row gather. In the QUANTIZED
+    (superrow) layout each molecule's edge block is padded to a multiple of
+    r_edge rows (zeros) and the table ships pre-reshaped to
+    [sum_e_q/r_edge, r_edge*8] so the expansion gathers 1KB superrows —
+    consecutive-row gathers suffer HBM bank conflicts, wide sparse rows
+    don't (measured 24.5 -> 3.2 ms at config-#4 scale). ``feat`` likewise:
+    [sum_n_q/r_node, r_node*F]. Logical columns of a packed edge row:
 
       0  src      molecule-local src id (edges dst-sorted per molecule)
       1  dst      molecule-local dst id
@@ -96,10 +101,12 @@ class MoleculeTables:
       7  padding
     """
 
-    mol_ptr: np.ndarray  # [D_total+1] node offsets
-    mol_eptr: np.ndarray  # [D_total+1] sorted-edge offsets (incl self loops)
-    feat: np.ndarray  # [sum_n, F]
-    edge_packed: np.ndarray  # [sum_e, 8] int32 — see columns above
+    mol_ptr: np.ndarray  # [D_total+1] QUANTIZED node offsets (r_node mult.)
+    mol_eptr: np.ndarray  # [D_total+1] QUANTIZED edge offsets (incl loops)
+    mol_ncnt: np.ndarray  # [D_total] int32 exact node counts
+    mol_ecnt: np.ndarray  # [D_total] int32 exact edge counts
+    feat: np.ndarray  # [sum_n_q/r_node, r_node*F]
+    edge_packed: np.ndarray  # [sum_e_q/r_edge, r_edge*8] int32 — see above
 
 
 @struct.dataclass
@@ -143,6 +150,7 @@ class HierarchicalSampler:
         seed: int = 0,
         max_drugs: int | None = None,
         calibrate_caps: int = 8,
+        quantize: bool = True,
     ):
         """``max_drugs`` caps the per-batch drug budget (and with it every
         derived cap); beyond it the BFS node list is truncated — seeds come
@@ -212,29 +220,72 @@ class HierarchicalSampler:
         s_g, d_g, w_g = _build_sorted(
             g_src, g_dst, int(self._mol_ptr[-1]), True, True
         )
-        self._tbl_eptr = np.searchsorted(d_g, self._mol_ptr).astype(np.int64)
+        tbl_eptr_x = np.searchsorted(d_g, self._mol_ptr).astype(np.int64)
         owner = np.repeat(
-            np.arange(self.num_nodes, dtype=np.int64), np.diff(self._tbl_eptr)
+            np.arange(self.num_nodes, dtype=np.int64), np.diff(tbl_eptr_x)
         )
-        self._tbl_src = (s_g - self._mol_ptr[owner]).astype(np.int32)
-        self._tbl_dst = (d_g - self._mol_ptr[owner]).astype(np.int32)
-        self._tbl_w = w_g.astype(np.float32)
+        tbl_src = (s_g - self._mol_ptr[owner]).astype(np.int32)
+        tbl_dst = (d_g - self._mol_ptr[owner]).astype(np.int32)
+        tbl_w = w_g.astype(np.float32)
         # per-molecule source-sort tables (see MoleculeTables): sort edges by
         # (owner, local src) in one pass; owner grouping is preserved, so each
         # block's slice is its local src-sorted order.
-        key = owner * np.int64(self._mol_ptr[-1] + 1) + self._tbl_src
+        key = owner * np.int64(self._mol_ptr[-1] + 1) + tbl_src
         order = np.argsort(key, kind="stable")
-        tbl_sperm = (order - self._tbl_eptr[owner]).astype(np.int32)
-        tbl_ssorted = self._tbl_src[order].astype(np.int32)
-        # one packed row table for all per-edge fields (MoleculeTables doc)
-        self._tbl_packed = np.zeros((len(self._tbl_src), 8), np.int32)
-        self._tbl_packed[:, 0] = self._tbl_src
-        self._tbl_packed[:, 1] = self._tbl_dst
-        self._tbl_packed[:, 2] = self._tbl_w.view(np.int32)
-        self._tbl_packed[:, 3] = tbl_sperm
-        self._tbl_packed[:, 4] = tbl_ssorted
-        self._tbl_packed[:, 5] = self._tbl_dst[order]
-        self._tbl_packed[:, 6] = self._tbl_w[order].view(np.int32)
+        tbl_sperm = (order - tbl_eptr_x[owner]).astype(np.int32)
+        tbl_ssorted = tbl_src[order].astype(np.int32)
+
+        # --- superrow quantization (MoleculeTables doc) -------------------
+        # TPU gathers of CONSECUTIVE rows run ~2x slower than random rows
+        # (HBM bank conflicts), and per-row latency dominates narrow rows;
+        # padding every molecule's table block to a multiple of R rows and
+        # gathering [R*width]-wide superrows is 5-8x faster (measured 24.5
+        # -> 3.2 ms for the per-edge payload at config-#4 scale). Quantized
+        # layouts put masked padding edges BETWEEN molecules, which breaks
+        # global dst-sortedness — only valid when every inner conv consumes
+        # the block-local plan (GIN/GCN via block_spmm); GAT-inner models
+        # pass quantize=False.
+        max_atoms = max(m.num_nodes for m in ds.molecules)
+        self.block_local = max_atoms <= 128
+        self.quantized = bool(quantize) and self.block_local
+        self.r_node = 4 if self.quantized else 1
+        self.r_edge = 32 if self.quantized else 1
+
+        def _quantize_ptr(ptr, r):
+            cnt = np.diff(ptr)
+            qcnt = -(-cnt // r) * r
+            qptr = np.zeros_like(ptr)
+            np.cumsum(qcnt, out=qptr[1:])
+            return qptr, cnt.astype(np.int32)
+
+        self._tbl_eptr, self.mol_edge_counts = _quantize_ptr(
+            tbl_eptr_x, self.r_edge)
+        new_e = self._tbl_eptr[owner] + (
+            np.arange(len(tbl_src), dtype=np.int64) - tbl_eptr_x[owner])
+        # one packed row table for all per-edge fields, padding rows zero
+        self._tbl_packed = np.zeros((int(self._tbl_eptr[-1]), 8), np.int32)
+        self._tbl_packed[new_e, 0] = tbl_src
+        self._tbl_packed[new_e, 1] = tbl_dst
+        self._tbl_packed[new_e, 2] = tbl_w.view(np.int32)
+        self._tbl_packed[new_e, 3] = tbl_sperm
+        self._tbl_packed[new_e, 4] = tbl_ssorted
+        self._tbl_packed[new_e, 5] = tbl_dst[order]
+        self._tbl_packed[new_e, 6] = tbl_w[order].view(np.int32)
+        # quantized node table (exact _mol_ptr/_all_feat stay, for the
+        # non-resident host-gather path)
+        self._mol_qptr, self.mol_node_counts = _quantize_ptr(
+            self._mol_ptr, self.r_node)
+        if self.quantized:
+            new_n = self._mol_qptr[owner_n := np.repeat(
+                np.arange(self.num_nodes, dtype=np.int64),
+                self.mol_node_counts)] + (
+                np.arange(len(self._all_feat), dtype=np.int64)
+                - self._mol_ptr[owner_n])
+            self._feat_tbl = np.zeros(
+                (int(self._mol_qptr[-1]), self._all_feat.shape[1]), np.float32)
+            self._feat_tbl[new_n] = self._all_feat
+        else:
+            self._feat_tbl = self._all_feat
         # global degrees for GCN weights (self-loops counted, matching
         # formats.gcn_normalize on the full train graph)
         deg = np.bincount(np.concatenate([u, np.arange(self.num_nodes)]),
@@ -253,21 +304,21 @@ class HierarchicalSampler:
         if max_drugs is not None:
             budget = min(budget, max_drugs)
         self.drug_budget = max(min(budget, self.num_nodes), seeds)
-        max_atoms = max(m.num_nodes for m in ds.molecules)
-        max_bonds = max(m.num_edges for m in ds.molecules)
         # block-local layout (ops/pallas/block_spmm.py): molecules <= 128
         # atoms are packed whole into 128-row blocks by the resident
         # expansion, so the fused in-VMEM SpMM kernel applies. node_cap must
-        # absorb the packing gaps: at least floor(128/max_atoms) molecules
-        # always fit per block.
-        self.block_local = max_atoms <= 128
+        # absorb the packing gaps: at least floor(128/max_qatoms) molecules
+        # always fit per block. All sizes here are r_node/r_edge-QUANTIZED
+        # (superrow layout) — exact for r = 1.
+        max_qatoms = int(np.diff(self._mol_qptr).max())
+        max_qe = int(np.diff(self._tbl_eptr).max())
         if self.block_local:
-            per_block = max(128 // max_atoms, 1)
+            per_block = max(128 // max_qatoms, 1)
             self.mols_per_block = per_block
             self.node_cap = _round_up(-(-self.drug_budget // per_block) * 128, 8)
         else:
-            self.node_cap = _round_up(self.drug_budget * max_atoms, 8)
-        self.edge_cap = _round_up(self.drug_budget * (max_bonds + max_atoms), 128)
+            self.node_cap = _round_up(self.drug_budget * max_qatoms, 8)
+        self.edge_cap = _round_up(self.drug_budget * max_qe, 128)
         # statistical edge cap (class doc): min with the dense worst case so
         # small datasets keep exact bounds and never truncate
         e_per_all = np.diff(self._tbl_eptr)
@@ -278,7 +329,7 @@ class HierarchicalSampler:
         )
         self.edge_cap = min(self.edge_cap, _round_up(stat_e, 128))
         if not self.block_local:
-            n_per_all = np.diff(self._mol_ptr)
+            n_per_all = np.diff(self._mol_qptr)
             stat_n = int(
                 self.drug_budget * float(n_per_all.mean())
                 + 8.0 * float(n_per_all.std()) * np.sqrt(self.drug_budget)
@@ -297,8 +348,8 @@ class HierarchicalSampler:
                 max_oe = max(max_oe, len(su))
                 if off_c is not None and len(off_c):
                     last_n = int(
-                        self._mol_ptr[nodes_c[-1] + 1]
-                        - self._mol_ptr[nodes_c[-1]])
+                        self._mol_qptr[nodes_c[-1] + 1]
+                        - self._mol_qptr[nodes_c[-1]])
                     max_ext = max(max_ext, int(off_c[-1]) + last_n)
             self.outer_edge_cap = min(
                 self.outer_edge_cap,
@@ -420,16 +471,17 @@ class HierarchicalSampler:
         keep = int(np.searchsorted(e_cum, self.edge_cap, side="right"))
         off = None
         if self.block_local:
-            # host greedy packing of molecules into 128-row blocks (the
-            # block-local SpMM layout); node truncation = the longest packed
-            # prefix whose extent fits node_cap (end offsets are monotone)
-            sizes = (self._mol_ptr[nodes + 1] - self._mol_ptr[nodes])
+            # host greedy packing of (quantized) molecules into 128-row
+            # blocks (the block-local SpMM layout); node truncation = the
+            # longest packed prefix whose extent fits node_cap (end offsets
+            # are monotone)
+            sizes = (self._mol_qptr[nodes + 1] - self._mol_qptr[nodes])
             off, _ = native.greedy_pack_blocks(sizes.astype(np.int32), 128)
             ends = off + sizes.astype(np.int32)
             keep = min(keep, int(np.searchsorted(ends, self.node_cap,
                                                  side="right")))
         else:
-            n_cum = np.cumsum(self._mol_ptr[nodes + 1] - self._mol_ptr[nodes])
+            n_cum = np.cumsum(self._mol_qptr[nodes + 1] - self._mol_qptr[nodes])
             keep = min(keep, int(np.searchsorted(n_cum, self.node_cap,
                                                  side="right")))
         if keep < len(nodes):
@@ -537,11 +589,14 @@ class HierarchicalSampler:
     # ------------------------------------------------------------------
     def tables(self) -> MoleculeTables:
         """The static per-molecule tables (upload once, device-resident)."""
+        f = self._feat_tbl.shape[1]
         return MoleculeTables(
-            mol_ptr=self._mol_ptr,
+            mol_ptr=self._mol_qptr,
             mol_eptr=self._tbl_eptr,
-            feat=self._all_feat,
-            edge_packed=self._tbl_packed,
+            mol_ncnt=self.mol_node_counts,
+            mol_ecnt=self.mol_edge_counts,
+            feat=self._feat_tbl.reshape(-1, self.r_node * f),
+            edge_packed=self._tbl_packed.reshape(-1, self.r_edge * 8),
         )
 
     def compact_from_pairs(

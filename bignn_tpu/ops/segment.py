@@ -31,7 +31,7 @@ def segment_sum(
             data, segment_ids, num_segments, interpret=(b == "pallas_interpret")
         )
     return jax.ops.segment_sum(
-        data, segment_ids, num_segments=num_segments, indices_are_sorted=True
+        data, segment_ids, num_segments=num_segments, indices_are_sorted=False  # quantized layouts interleave masked padding
     )
 
 
@@ -46,7 +46,7 @@ def segment_mean(
     total = segment_sum(data, segment_ids, num_segments, backend=backend)
     ones = jnp.ones(data.shape[:1], dtype=data.dtype)
     count = jax.ops.segment_sum(
-        ones, segment_ids, num_segments=num_segments, indices_are_sorted=True
+        ones, segment_ids, num_segments=num_segments, indices_are_sorted=False  # quantized layouts interleave masked padding
     )
     return total / jnp.maximum(count, 1.0)[(...,) + (None,) * (data.ndim - 1)]
 
@@ -67,7 +67,7 @@ def segment_max(
             data, segment_ids, num_segments, interpret=(b == "pallas_interpret")
         )
     out = jax.ops.segment_max(
-        data, segment_ids, num_segments=num_segments, indices_are_sorted=True
+        data, segment_ids, num_segments=num_segments, indices_are_sorted=False  # quantized layouts interleave masked padding
     )
     return jnp.where(jnp.isfinite(out), out, 0.0)
 
@@ -94,7 +94,7 @@ def segment_softmax(
             scores, segment_ids, num_segments, interpret=(b == "pallas_interpret")
         )
     seg_max = jax.ops.segment_max(
-        scores, segment_ids, num_segments=num_segments, indices_are_sorted=True
+        scores, segment_ids, num_segments=num_segments, indices_are_sorted=False  # quantized layouts interleave masked padding
     )
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
     # softmax is shift-invariant: the max shift carries zero gradient, so
@@ -104,6 +104,6 @@ def segment_softmax(
     shifted = scores - jnp.take(seg_max, segment_ids, axis=0, mode="clip")
     expd = jnp.exp(shifted)
     denom = jax.ops.segment_sum(
-        expd, segment_ids, num_segments=num_segments, indices_are_sorted=True
+        expd, segment_ids, num_segments=num_segments, indices_are_sorted=False  # quantized layouts interleave masked padding
     )
     return expd / jnp.maximum(jnp.take(denom, segment_ids, axis=0, mode="clip"), 1e-16)

@@ -189,6 +189,13 @@ class MinibatchTrainer:
         self.ds = ds
         self.config = config
         self.resident = resident
+        # superrow-quantized tables put masked padding between molecules
+        # (breaks strict dst-sortedness) — only valid when every inner conv
+        # rides the block-local plan (GIN/GCN via ops/pallas/block_spmm.py)
+        block_capable = all(
+            spec.split(":")[0] in ("gin", "gcn")
+            for spec in model.config.inner_layers
+        )
         self.sampler = HierarchicalSampler(
             ds,
             batch_size=config.batch_size,
@@ -197,6 +204,7 @@ class MinibatchTrainer:
             seed=config.seed,
             max_drugs=max_drugs,
             calibrate_caps=calibrate_caps,
+            quantize=block_capable,
         )
         self.optimizer = (
             optax.adamw(config.lr, weight_decay=config.weight_decay)
@@ -227,79 +235,101 @@ class MinibatchTrainer:
         Rows of each sampled molecule are located with cumsum + a one-pass
         rank computation (static shapes); because per-molecule edge blocks
         are pre-sorted by local dst and offsets increase monotonically, the
-        expanded edge list is globally dst-sorted with zero per-step sorting.
+        expanded edge list is globally dst-sorted (up to masked quantization
+        padding) with zero per-step sorting.
 
         Gather discipline (the step's real bottleneck at config-#4 scale):
-        TPU 1D gathers move ~1 element/cycle regardless of row width, so
-        every per-edge/per-node field is fetched through exactly TWO row
-        gathers — one [EC, 3] over a per-slot side table built from D-sized
-        ops, one [EC, 8] over the packed molecule edge table — instead of
-        ~10 separate 1D gathers (measured 5.9x step-expansion win on v5e).
+        all table data is fetched through TWO SUPERROW gathers — one
+        [EC/r_e, r_e*8] over the packed molecule edge table and one
+        [NC/r_n, r_n*F] over the feature table (quantized layouts, see
+        MoleculeTables) — plus two small per-slot side-table row gathers at
+        superrow granularity. Narrow per-edge 1D gathers pay per-row latency
+        and consecutive-row bank conflicts (measured 24.5 ms vs 3.2 ms for
+        the same payload on v5e); superrows pay neither. r_e = r_n = 1
+        degenerates to exact (non-quantized) tables for layouts that need
+        strict global dst-sortedness (e.g. GAT inner convs).
         """
         D, NC, EC = cb.drug_budget, cb.node_cap, cb.edge_cap
-        block_local = getattr(self.sampler, "block_local", False)
+        s = self.sampler
+        block_local = getattr(s, "block_local", False)
+        R_N = getattr(s, "r_node", 1)
+        R_E = getattr(s, "r_edge", 1)
+        NCs, ECs = NC // R_N, EC // R_E
+
+        def rep(x, r):  # expand a per-superrow value to per-row
+            if r == 1:
+                return x
+            return jnp.broadcast_to(x[:, None], (x.shape[0], r)).reshape(-1)
+
         nodes = cb.nodes.astype(jnp.int32)
         slot_valid = jnp.arange(D) < cb.n_real
-        mol_ptr = tb.mol_ptr.astype(jnp.int32)
-        mol_start = jnp.take(mol_ptr, nodes, mode="clip")  # [D]
-        n_per = jnp.where(
-            slot_valid,
-            jnp.take(mol_ptr, nodes + 1, mode="clip") - mol_start, 0
-        )
+        mol_ptr = tb.mol_ptr.astype(jnp.int32)  # quantized
+        qstart = jnp.take(mol_ptr, nodes, mode="clip")  # [D]
+        n_q = jnp.where(
+            slot_valid, jnp.take(mol_ptr, nodes + 1, mode="clip") - qstart, 0)
+        n_x = jnp.where(
+            slot_valid, jnp.take(tb.mol_ncnt.astype(jnp.int32), nodes,
+                                 mode="clip"), 0)
         if block_local:
             # host greedy packing (native.greedy_pack_blocks): molecules
             # never straddle 128-row blocks, offsets strictly increase
-            # across real slots. Ships as [D] int32 in the CompactBatch.
+            # across real slots, all multiples of r_node.
             off = cb.pack_off.astype(jnp.int32)
         else:
-            cum = jnp.cumsum(n_per)
+            cum = jnp.cumsum(n_q)
             off = jnp.concatenate([jnp.zeros(1, cum.dtype), cum[:-1]])
+        # slot of each node superrow: rank over superrow-granular offsets
+        # (empty/padding slots rank to NCs and are masked below)
+        off_eff = jnp.where(n_q > 0, off // R_N, NCs)
+        slot_s = jnp.maximum(self._rank_slots(off_eff, NCs) - 1, 0)  # [NCs]
+        slot_sc = jnp.minimum(slot_s, D - 1)
+        node_tbl = jnp.stack([off, n_x, qstart], axis=1)  # [D, 3]
+        nrow = jax.lax.optimization_barrier(
+            jnp.take(node_tbl, slot_sc, axis=0, mode="clip"))  # [NCs, 3]
+        # feature superrow gather: qstart and off are r_node-multiples, so
+        # superrow index = qstart/r_n + (superrow pos - off/r_n)
+        sr_idx = nrow[:, 2] // R_N + (
+            jnp.arange(NCs, dtype=jnp.int32) - nrow[:, 0] // R_N)
+        feat_s = jax.lax.optimization_barrier(jnp.take(
+            tb.feat, jnp.clip(sr_idx, 0, tb.feat.shape[0] - 1), axis=0))
+        F = tb.feat.shape[1] // R_N
         row_pos = jnp.arange(NC, dtype=jnp.int32)
-        # slot[p] = index of the last molecule starting at or before p;
-        # empty/padding slots dedup via the validity check below (they form
-        # a suffix, so real rows always rank to their own molecule).
-        off_eff = jnp.where(n_per > 0, off, NC)
-        slot = jnp.maximum(self._rank_slots(off_eff, NC) - 1, 0)  # [NC]
-        slot_c = jnp.minimum(slot, D - 1)
-        node_tbl = jnp.stack([off, n_per, mol_start], axis=1)  # [D, 3]
-        nrow = jnp.take(node_tbl, slot_c, axis=0, mode="clip")  # [NC, 3]
-        local_row = row_pos - nrow[:, 0]
-        row_valid = (local_row >= 0) & (local_row < nrow[:, 1])
-        node_rows = nrow[:, 2] + local_row
-        node_feat = jnp.where(
-            row_valid[:, None],
-            jnp.take(tb.feat, jnp.maximum(node_rows, 0), axis=0, mode="clip"),
-            0.0,
-        )
+        slot_c = rep(slot_sc, R_N)
+        local_row = row_pos - rep(nrow[:, 0], R_N)
+        row_valid = (local_row >= 0) & (local_row < rep(nrow[:, 1], R_N))
+        node_feat = jnp.where(row_valid[:, None], feat_s.reshape(NC, F), 0.0)
         graph_ids = jnp.where(row_valid, slot_c, D).astype(jnp.int32)
 
-        eptr = tb.mol_eptr.astype(jnp.int32)
-        estart = jnp.take(eptr, nodes, mode="clip")  # [D]
-        e_per = jnp.where(
-            slot_valid, jnp.take(eptr, nodes + 1, mode="clip") - estart, 0
-        )
-        ecum = jnp.cumsum(e_per)
-        etotal = ecum[-1]
+        eptr = tb.mol_eptr.astype(jnp.int32)  # quantized
+        qe = jnp.take(eptr, nodes, mode="clip")  # [D]
+        e_q = jnp.where(
+            slot_valid, jnp.take(eptr, nodes + 1, mode="clip") - qe, 0)
+        e_x = jnp.where(
+            slot_valid, jnp.take(tb.mol_ecnt.astype(jnp.int32), nodes,
+                                 mode="clip"), 0)
+        ecum = jnp.cumsum(e_q)
         ecum0 = jnp.concatenate([jnp.zeros(1, ecum.dtype), ecum])  # [D+1]
-        epos = jnp.arange(EC, dtype=jnp.int32)
-        eslot = self._rank_slots(ecum, EC)  # [EC] in [0, D]
-        # per-slot side table, one row gather for all three fields. Row D
-        # (padding edges) is only read by masked outputs.
+        eslot_s = self._rank_slots(ecum // R_E, ECs)  # [ECs] in [0, D]
+        # per-slot side table, one superrow-granular row gather for all four
+        # fields. Row D (tail padding) is only read by masked outputs.
         edge_tbl = jnp.stack([
             jnp.pad(off, (0, 1)),  # node offset of the molecule
-            jnp.pad(estart, (0, 1)),  # table edge-row start
-            ecum0,  # batch edge offset
-        ], axis=1)  # [D+1, 3]
-        erow = jnp.take(edge_tbl, eslot, axis=0, mode="clip")  # [EC, 3]
-        node_off = erow[:, 0]
-        erows = erow[:, 1] + (epos - erow[:, 2])
-        evalid = epos < etotal
-        # ONE [EC, 8] row gather brings every per-edge field (see
-        # MoleculeTables.edge_packed column layout)
-        packed = jnp.take(
-            tb.edge_packed, jnp.clip(erows, 0, tb.edge_packed.shape[0] - 1),
-            axis=0,
-        )
+            jnp.pad(qe, (0, 1)),  # table edge-row start (quantized)
+            ecum0,  # batch edge offset (quantized)
+            jnp.pad(e_x, (0, 1)),  # exact edge count (validity)
+        ], axis=1)  # [D+1, 4]
+        erow = jax.lax.optimization_barrier(
+            jnp.take(edge_tbl, eslot_s, axis=0, mode="clip"))  # [ECs, 4]
+        esr_idx = erow[:, 1] // R_E + (
+            jnp.arange(ECs, dtype=jnp.int32) - erow[:, 2] // R_E)
+        packed_s = jax.lax.optimization_barrier(jnp.take(
+            tb.edge_packed,
+            jnp.clip(esr_idx, 0, tb.edge_packed.shape[0] - 1), axis=0))
+        packed = packed_s.reshape(EC, 8)
+        epos = jnp.arange(EC, dtype=jnp.int32)
+        node_off = rep(erow[:, 0], R_E)
+        ecum0e = rep(erow[:, 2], R_E)
+        evalid = (epos - ecum0e) < rep(erow[:, 3], R_E)
         edge_src = jnp.where(evalid, packed[:, 0] + node_off, 0)
         edge_dst = jnp.where(evalid, packed[:, 1] + node_off, NC)
         edge_w = jnp.where(
@@ -309,9 +339,10 @@ class MinibatchTrainer:
         # source-sort permutation, expanded from the per-molecule tables:
         # block b of the batch edge list holds molecule b's edges, so
         # (batch edge offset) + (local src-sorted position) enumerates the
-        # batch edges in GLOBAL src order (offsets increase monotonically).
-        # Padding positions point at themselves with segment id NC (dropped).
-        sperm = jnp.where(evalid, erow[:, 2] + packed[:, 3], epos)
+        # real batch edges in GLOBAL src order (offsets increase
+        # monotonically); padding positions map to themselves with segment
+        # id NC (dropped), so sperm stays a permutation of [0, EC).
+        sperm = jnp.where(evalid, ecum0e + packed[:, 3], epos)
         ssorted = jnp.where(evalid, packed[:, 4] + node_off, NC)
         if block_local:
             # transposed (src-sorted) edge list for the block-local
@@ -346,7 +377,7 @@ class MinibatchTrainer:
             edge_dst=edge_dst,
             edge_weight=edge_w,
             graph_ids=graph_ids,
-            graph_n_nodes=n_per.astype(jnp.float32),
+            graph_n_nodes=n_x.astype(jnp.float32),
             num_graphs=D,
             node_cap=NC,
             edge_cap=EC,

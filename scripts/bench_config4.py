@@ -81,7 +81,7 @@ def main():
     # inflate the metric): median molecule-edge total + median live outer
     # edges over a few sampled batches.
     import numpy as _np
-    e_per_all = _np.diff(s._tbl_eptr)
+    e_per_all = s.mol_edge_counts  # EXACT per-molecule edges (not quantized)
     probes = []
     for _ in range(5):
         cbp = s.sample_compact()

@@ -22,27 +22,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _force(out):
-    """Force execution via a scalar D2H — on the axon tunnel platform
-    block_until_ready returns early, so D2H is the only reliable sync."""
+def _floor_and_timed():
+    """Single-scalar sync + measured sync-floor subtraction: under the axon
+    tunnel every D2H costs ~25 ms, which would swamp sub-50ms stages."""
     import numpy as np
-    for leaf in jax.tree.leaves(out):
-        np.asarray(jnp.ravel(leaf)[0])
 
-
-def timed(fn, *args, n=5, name=""):
-    import numpy as np
-    out = fn(*args)
-    _force(out)
-    times = []
-    for _ in range(n):
+    _tiny = jax.jit(lambda v: v + 1)
+    x = jnp.ones((), jnp.float32)
+    np.asarray(_tiny(x))
+    ts = []
+    for _ in range(9):
         t0 = time.perf_counter()
-        out = fn(*args)
-        _force(out)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) * 1000
-    print(f"{name:10s} {dt:9.2f} ms", flush=True)
-    return dt
+        np.asarray(_tiny(x))
+        ts.append(time.perf_counter() - t0)
+    floor = float(np.median(ts))
+    print(f"sync floor {floor*1e3:8.2f} ms", flush=True)
+
+    def timed(fn, *args, n=7, name=""):
+        jfn = jax.jit(lambda *a: jax.tree.reduce(
+            lambda p, q: p + q,
+            jax.tree.map(lambda l: jnp.ravel(l)[0].astype(jnp.float32),
+                         fn(*a)),
+        ))
+        np.asarray(jfn(*args))
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            np.asarray(jfn(*args))
+            ts.append(time.perf_counter() - t0)
+        dt = (float(np.median(ts)) - floor) * 1000
+        print(f"{name:10s} {dt:9.2f} ms", flush=True)
+        return dt
+
+    return timed
 
 
 def main():
@@ -86,6 +98,7 @@ def main():
     s = tr.sampler
     print(f"budget={s.drug_budget} node_cap={s.node_cap} edge_cap={s.edge_cap} "
           f"outer_cap={s.outer_edge_cap}", flush=True)
+    timed = _floor_and_timed()
     params, opt_state = tr.init()
     cb = jax.tree.map(jnp.asarray, s.sample_compact())
     tb = tr.tables
@@ -126,7 +139,8 @@ def main():
     timed(outer_g, params, emb, cb, name="grad outer")
     full_g = jax.jit(jax.grad(lambda p, cb, tb: jnp.sum(tr._forward(p, cb, tb) ** 2)))
     timed(full_g, params, cb, tb, name="grad fwd")
-    timed(lambda: tr._train_step(params, opt_state, cb, tb), name="step")
+    timed(lambda p, o, c, t: tr._step(p, o, c, t), params, opt_state, cb, tb,
+          name="step")
 
 
 if __name__ == "__main__":
