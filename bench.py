@@ -29,8 +29,10 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=2048)
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "xla", "pallas"])
-    parser.add_argument("--dtype", default="float32",
-                        choices=["float32", "bfloat16"])
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"],
+                        help="compute dtype (params/optimizer stay f32 "
+                             "master; bfloat16 is the TPU-native default)")
     parser.add_argument("--dim", type=int, default=64,
                         help="model hidden dim (128 = native TPU lane width)")
     args = parser.parse_args()

@@ -70,6 +70,12 @@ def _block_spmm_kernel(
     num_edges: int,
     weighted: bool,
 ):
+    # bf16 inputs ride the fast MXU path (one-hot masks are exact in bf16;
+    # both dots accumulate in f32 via preferred_element_type); f32 inputs
+    # keep HIGHEST precision as before.
+    cdt = x_ref.dtype if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if cdt == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     i = pl.program_id(0)
     e0 = estarts_ref[i]
     e1 = estarts_ref[i + 1]
@@ -101,7 +107,7 @@ def _block_spmm_kernel(
         for d in chunk_dma(0, 0):
             d.start()
 
-    x_block = x_ref[:].astype(jnp.float32)  # [BR, F]
+    x_block = x_ref[:].astype(cdt)  # [BR, F]
 
     def body(c, acc):
         slot = jax.lax.rem(c, 2)
@@ -125,14 +131,14 @@ def _block_spmm_kernel(
             jnp.int32, (block_edges, BLOCK_ROWS), 0)
         r_cols = jax.lax.broadcasted_iota(
             jnp.int32, (block_edges, BLOCK_ROWS), 1)
-        oh_src_t = (src_l.reshape(block_edges, 1) == r_cols).astype(jnp.float32)
+        oh_src_t = (src_l.reshape(block_edges, 1) == r_cols).astype(cdt)
         msgs = jax.lax.dot(
             oh_src_t, x_block,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [BE, F]
+            precision=prec,
+        ).astype(cdt)  # [BE, F]
         if weighted:
-            msgs = msgs * w_buf[slot].reshape(block_edges, 1)
+            msgs = msgs * w_buf[slot].reshape(block_edges, 1).astype(cdt)
 
         # scatter: acc[d] += msgs[e] for dst_l[e] == d  ==  OH_dst @ msgs.
         # The dst mask also drops over-read edges (local id out of range)
@@ -141,11 +147,11 @@ def _block_spmm_kernel(
             jnp.int32, (BLOCK_ROWS, block_edges), 0)
         lanes = jax.lax.broadcasted_iota(
             jnp.int32, (BLOCK_ROWS, block_edges), 1)
-        oh_dst = ((dst_l == rows) & (lanes >= shift)).astype(jnp.float32)
+        oh_dst = ((dst_l == rows) & (lanes >= shift)).astype(cdt)
         return acc + jax.lax.dot(
             oh_dst, msgs,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
 
     acc = jnp.zeros((BLOCK_ROWS, out_ref.shape[1]), jnp.float32)

@@ -76,9 +76,14 @@ def make_p2_train_step(
         # provable for shard_map's out_specs check.
         return jax.lax.pmean(num / jnp.maximum(den, 1.0), "graph")
 
+    # check_vma=False: Pallas kernels (block_spmm / segment kernels) return
+    # ShapeDtypeStructs without vma annotations, which the shard_map varying-
+    # mesh-axes check rejects; per-shard correctness is covered by the
+    # single-vs-multi-device equality tests instead.
     sharded_loss = jax.shard_map(
         shard_loss,
         mesh=mesh,
+        check_vma=False,
         in_specs=(
             P(),            # params (replicated)
             P("dp", None),  # pairs
@@ -148,6 +153,7 @@ def make_p2_score_fn(
     return jax.jit(jax.shard_map(
         shard_score,
         mesh=mesh,
+        check_vma=False,
         in_specs=(P(), P("dp", None), P("graph"),
                   P("graph"), P("graph"), P("graph"), P("graph")),
         out_specs=P("dp"),

@@ -83,13 +83,20 @@ def bucket_graphs(
     max_buckets: int = 4,
     normalize: bool = True,
     add_self_loops: bool = True,
+    block_local: bool | None = None,
 ) -> Bucketing:
     """Partition ``graphs`` into size buckets and build one padded batch each.
 
     Caps are derived from the bucket contents: node_cap = sum of nodes (+pad to
     8), edge_cap = sum of edges (+self loops) (+pad to 8).
+
+    ``block_local`` (default: auto — on when every graph has <= 128 nodes)
+    lays each bucket out in greedily packed 128-row blocks and attaches the
+    fused block-local SpMM plan (see formats.build_padded_batch).
     """
     n_counts = [g.num_nodes for g in graphs]
+    if block_local is None:
+        block_local = max(n_counts, default=0) <= 128
     if bounds is None:
         bounds = plan_buckets(n_counts, max_buckets=max_buckets)
     bounds = list(bounds)
@@ -110,7 +117,14 @@ def bucket_graphs(
         if not members:
             continue
         gs = [graphs[i] for i in members]
-        node_cap = _round_up(sum(g.num_nodes for g in gs), 8)
+        if block_local:
+            from bignn_tpu import native
+
+            _, extent = native.greedy_pack_blocks(
+                np.asarray([g.num_nodes for g in gs], np.int32), 128)
+            node_cap = _round_up(max(extent, 128), 128)
+        else:
+            node_cap = _round_up(sum(g.num_nodes for g in gs), 8)
         e_total = sum(g.num_edges for g in gs)
         if add_self_loops:
             e_total += sum(g.num_nodes for g in gs)
@@ -124,6 +138,7 @@ def bucket_graphs(
                 edge_cap=edge_cap,
                 normalize=normalize,
                 add_self_loops=add_self_loops,
+                block_local=block_local,
             )
         )
         graph_index.append(np.asarray(members, np.int32))

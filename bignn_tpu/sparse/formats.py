@@ -228,44 +228,81 @@ def build_padded_batch(
     normalize: bool = True,
     add_self_loops: bool = True,
     dtype=np.float32,
+    block_local: bool = False,
 ) -> PaddedGraphBatch:
     """Build the padded disjoint union of ``graphs``.
 
     ``edge_cap`` must account for self-loops when ``add_self_loops`` is set
     (i.e. ``sum(e_i) + sum(n_i)``).
+
+    ``block_local=True`` places graphs at greedily packed 128-row block
+    offsets (no graph straddles a block boundary; requires every graph
+    <= 128 nodes and ``node_cap`` a multiple of 128 covering the packed
+    extent) and attaches the block-local SpMM plan (estarts + transposed
+    edge list) so inner convs ride ops/pallas/block_spmm.py. Real edges
+    remain a dst-sorted prefix either way, so all non-block ops stay valid.
     """
     num_graphs = len(graphs)
     if num_graphs == 0:
         raise ValueError("empty graph list")
     feat_dim = graphs[0].node_feat.shape[1]
 
-    feats, srcs, dsts, gids, n_nodes_per = [], [], [], [], []
-    offset = 0
+    sizes = np.asarray([g.num_nodes for g in graphs], np.int32)
+    if block_local:
+        from bignn_tpu import native
+
+        if node_cap % 128:
+            raise ValueError("block_local needs node_cap % 128 == 0")
+        offsets, extent = native.greedy_pack_blocks(sizes, 128)
+        if extent > node_cap:
+            raise ValueError(f"packed extent {extent} > node_cap {node_cap}")
+    else:
+        offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+        extent = int(sizes.sum())
+        if extent > node_cap:
+            raise ValueError(f"total nodes {extent} > node_cap {node_cap}")
+
+    node_feat = np.zeros((node_cap, feat_dim), dtype)
+    node_mask = np.zeros(node_cap, dtype)
+    graph_ids = np.full(node_cap, num_graphs, np.int32)
+    srcs, dsts = [], []
     for gi, g in enumerate(graphs):
-        n = g.num_nodes
-        feats.append(np.asarray(g.node_feat, dtype))
-        srcs.append(np.asarray(g.src, np.int64) + offset)
-        dsts.append(np.asarray(g.dst, np.int64) + offset)
-        gids.append(np.full(n, gi, np.int32))
-        n_nodes_per.append(n)
-        offset += n
-    total_nodes = offset
-    if total_nodes > node_cap:
-        raise ValueError(f"total nodes {total_nodes} > node_cap {node_cap}")
+        n, off = int(sizes[gi]), int(offsets[gi])
+        node_feat[off : off + n] = np.asarray(g.node_feat, dtype)
+        node_mask[off : off + n] = 1.0
+        graph_ids[off : off + n] = gi
+        srcs.append(np.asarray(g.src, np.int64) + off)
+        dsts.append(np.asarray(g.dst, np.int64) + off)
+        if add_self_loops:
+            # explicit per-graph loops: _build_sorted must NOT loop the
+            # packing-gap rows, but normalization must still count loops
+            loop = np.arange(off, off + n, dtype=np.int64)
+            srcs.append(loop)
+            dsts.append(loop)
 
     src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
     dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
-    src, dst, w = _build_sorted(src, dst, total_nodes, normalize, add_self_loops)
+    src, dst, w = _build_sorted(src, dst, extent, normalize, False)
     if src.shape[0] > edge_cap:
         raise ValueError(f"total edges {src.shape[0]} > edge_cap {edge_cap}")
 
-    node_feat = pad_to(np.concatenate(feats, axis=0), node_cap)
-    node_mask = pad_to(np.ones(total_nodes, dtype), node_cap)
-    graph_ids = pad_to(np.concatenate(gids), node_cap, fill=num_graphs)
     edge_src = pad_to(src.astype(np.int32), edge_cap, fill=0)
     edge_dst = pad_to(dst.astype(np.int32), edge_cap, fill=node_cap)
     edge_weight = pad_to(w, edge_cap, fill=0.0)
     sperm, ssorted = src_sort_arrays(edge_src)
+    block = {}
+    if block_local:
+        nblocks = node_cap // 128
+        bounds = np.arange(nblocks + 1, dtype=np.int64) * 128
+        order = np.argsort(src, kind="stable")
+        tdst = src[order].astype(np.int32)
+        block = dict(
+            block_estarts=np.searchsorted(dst, bounds).astype(np.int32),
+            edge_tsrc=pad_to(dst[order].astype(np.int32), edge_cap, fill=0),
+            edge_tdst=pad_to(tdst, edge_cap, fill=node_cap),
+            edge_tweight=pad_to(w[order], edge_cap, fill=0.0).astype(dtype),
+            block_tstarts=np.searchsorted(tdst, bounds).astype(np.int32),
+        )
 
     return PaddedGraphBatch(
         node_feat=node_feat,
@@ -274,12 +311,13 @@ def build_padded_batch(
         edge_dst=edge_dst,
         edge_weight=edge_weight.astype(dtype),
         graph_ids=graph_ids,
-        graph_n_nodes=np.asarray(n_nodes_per, dtype),
+        graph_n_nodes=sizes.astype(dtype),
         num_graphs=num_graphs,
         node_cap=int(node_cap),
         edge_cap=int(edge_cap),
         edge_src_perm=sperm,
         edge_src_sorted=ssorted,
+        **block,
     )
 
 

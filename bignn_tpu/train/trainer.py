@@ -212,7 +212,13 @@ class MinibatchTrainer:
             else optax.adam(config.lr)
         )
         if resident:
-            self.tables = jax.tree.map(jnp.asarray, self.sampler.tables())
+            tables = self.sampler.tables()
+            if model.compute_dtype == jnp.bfloat16:
+                # bf16 feature table: halves the expansion's feature-gather
+                # HBM traffic and feeds the convs their compute dtype
+                tables = tables.replace(
+                    feat=tables.feat.astype(jnp.bfloat16))
+            self.tables = jax.tree.map(jnp.asarray, tables)
         self._train_step = jax.jit(self._step)
         self._score_batch = jax.jit(self._score)
 

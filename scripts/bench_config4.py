@@ -28,6 +28,8 @@ def main():
     p.add_argument("--max-drugs", type=int, default=16384)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     import jax
@@ -60,7 +62,10 @@ def main():
               flush=True)
 
     fanouts = tuple(int(x) for x in args.fanouts.split(","))
-    model = BiGNN(BiGNNConfig.full_bignn(feat_dim=32, dim=args.dim, heads=4))
+    import dataclasses
+    model = BiGNN(dataclasses.replace(
+        BiGNNConfig.full_bignn(feat_dim=32, dim=args.dim, heads=4),
+        dtype=args.dtype))
     tr = MinibatchTrainer(
         model, ds,
         TrainConfig(lr=1e-3, epochs=1, batch_size=args.batch),

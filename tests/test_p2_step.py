@@ -96,3 +96,14 @@ def test_p2_step_full_bignn_runs():
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2))
     )
     assert moved
+
+
+def test_multichip_step_pallas_interpret_backend():
+    """Pallas kernels inside shard_map (the real multi-chip TPU path) must
+    compile and run — regression for the shard_map check_vma rejection of
+    pallas_call outputs."""
+    import bignn_tpu.ops as ops
+    import __graft_entry__ as g
+
+    with ops.backend_scope("pallas_interpret"):
+        g.dryrun_multichip(4)
