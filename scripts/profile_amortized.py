@@ -34,7 +34,10 @@ def main():
     from bignn_tpu.train import MinibatchTrainer, TrainConfig
     cache = _os.path.join(_os.path.dirname(__file__), "..", ".cache", "config4_100000.npz")
     ds = load_npz_cache(cache, "config4")
-    model = BiGNN(BiGNNConfig.full_bignn(feat_dim=32, dim=128, heads=4))
+    import dataclasses
+    model = BiGNN(dataclasses.replace(
+        BiGNNConfig.full_bignn(feat_dim=32, dim=128, heads=4),
+        dtype="bfloat16"))
     tr = MinibatchTrainer(model, ds, TrainConfig(lr=1e-3, epochs=1, batch_size=1024),
                           fanouts=(10, 5), max_drugs=16384)
     s = tr.sampler
@@ -58,6 +61,19 @@ def main():
     timed(lambda i, p, cb, tb: jax.grad(
         lambda q: jnp.sum(tr._forward(q, vary(i, cb), tb) ** 2))(p),
           params, cb, tb, name="grad fwd")
+
+    from bignn_tpu.sparse.formats import OuterGraph
+    def outer_fn(i, p, emb, cb):
+        og = OuterGraph(edge_src=cb.outer_src, edge_dst=cb.outer_dst,
+                        edge_weight=cb.outer_weight, num_nodes=cb.drug_budget,
+                        edge_cap=cb.outer_edge_cap,
+                        edge_src_perm=cb.outer_src_perm,
+                        edge_src_sorted=cb.outer_src_sorted)
+        return tr.model.propagate_outer(p, emb + i, og)
+    emb = jax.jit(lambda p, pb: tr.model.encode_inner(p, pb))(params, pb)
+    timed(outer_fn, params, emb, cb, name="outer")
+    timed(lambda i, p, cb, tb: tr._step(p, opt_state, vary(i, cb), tb)[2],
+          params, cb, tb, name="step")
 
     # pure gathers at real sizes, amortized
     erows = jnp.asarray(np.random.default_rng(0).integers(
