@@ -69,6 +69,7 @@ def _block_spmm_kernel(
     block_edges: int,
     num_edges: int,
     weighted: bool,
+    program_rows: int,
 ):
     # bf16 inputs ride the fast MXU path (one-hot masks are exact in bf16;
     # both dots accumulate in f32 via preferred_element_type); f32 inputs
@@ -81,7 +82,7 @@ def _block_spmm_kernel(
     e1 = estarts_ref[i + 1]
     e0_al = (e0 // 128) * 128  # align to the DMA granule; masks absorb
     n_chunks = pl.cdiv(e1 - e0_al, block_edges)
-    row0 = i * BLOCK_ROWS
+    row0 = i * program_rows
     max_start = num_edges - block_edges
 
     def chunk_dma(slot, c):
@@ -128,9 +129,9 @@ def _block_spmm_kernel(
 
         # gather: msgs[e] = x_block[src_l[e]]  ==  OH_src_t @ x_block
         e_rows = jax.lax.broadcasted_iota(
-            jnp.int32, (block_edges, BLOCK_ROWS), 0)
+            jnp.int32, (block_edges, program_rows), 0)
         r_cols = jax.lax.broadcasted_iota(
-            jnp.int32, (block_edges, BLOCK_ROWS), 1)
+            jnp.int32, (block_edges, program_rows), 1)
         oh_src_t = (src_l.reshape(block_edges, 1) == r_cols).astype(cdt)
         msgs = jax.lax.dot(
             oh_src_t, x_block,
@@ -144,9 +145,9 @@ def _block_spmm_kernel(
         # The dst mask also drops over-read edges (local id out of range)
         # and earlier-counted lanes.
         rows = jax.lax.broadcasted_iota(
-            jnp.int32, (BLOCK_ROWS, block_edges), 0)
+            jnp.int32, (program_rows, block_edges), 0)
         lanes = jax.lax.broadcasted_iota(
-            jnp.int32, (BLOCK_ROWS, block_edges), 1)
+            jnp.int32, (program_rows, block_edges), 1)
         oh_dst = ((dst_l == rows) & (lanes >= shift)).astype(cdt)
         return acc + jax.lax.dot(
             oh_dst, msgs,
@@ -154,14 +155,14 @@ def _block_spmm_kernel(
             precision=prec,
         )
 
-    acc = jnp.zeros((BLOCK_ROWS, out_ref.shape[1]), jnp.float32)
+    acc = jnp.zeros((program_rows, out_ref.shape[1]), jnp.float32)
     acc = jax.lax.fori_loop(0, n_chunks, body, acc)
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_nodes", "block_edges", "interpret"),
+    static_argnames=("num_nodes", "block_edges", "interpret", "program_rows"),
 )
 def _block_spmm_impl(
     x: jax.Array,  # [N, F]
@@ -173,14 +174,37 @@ def _block_spmm_impl(
     *,
     block_edges: int = 512,
     interpret: bool = False,
+    program_rows: int | None = None,
 ) -> jax.Array:
     n, f = x.shape
     assert n % BLOCK_ROWS == 0 and num_nodes == n, (
         "block-local spmm requires x padded to the 128-row grid")
-    grid = n // BLOCK_ROWS
+    # Grid programs span several 128-row blocks: per-program fixed cost
+    # (DMA setup/waits, x/out block moves) dominates at avg ~450 edges per
+    # 128-row block (measured ~2us/program -> 7.5 ms/layer at config #4),
+    # while block-locality holds within any aligned superblock for free.
+    # Wider programs trade one-hot FLOPs (linear in program_rows) for
+    # per-program overhead; bf16's MXU headroom affords wider spans.
+    if program_rows is None:
+        program_rows = 1024 if x.dtype == jnp.bfloat16 else 512
+    program_rows = min(program_rows, _round_up(n, 128))
+    n_pad = _round_up(n, program_rows)
+    if n_pad != n:
+        x = jnp.concatenate([x, jnp.zeros((n_pad - n, f), x.dtype)])
+    # coarsen the 128-granular estarts to program granularity
+    s = program_rows // BLOCK_ROWS
+    nblk = n_pad // BLOCK_ROWS
+    if estarts.shape[0] < nblk + 1:
+        estarts = jnp.concatenate([
+            estarts,
+            jnp.broadcast_to(estarts[-1:], (nblk + 1 - estarts.shape[0],)),
+        ])
+    estarts = estarts[::s]
+    grid = n_pad // program_rows
     f_pad = _round_up(f, 128)
     if f_pad != f:
-        x = jnp.zeros((n, f_pad), x.dtype).at[:, :f].set(x)
+        x = jnp.zeros((n_pad, f_pad), x.dtype).at[:, :f].set(x)
+    n = n_pad
     e = src.shape[0]
     e_pad = _round_up(e, 128)
     block_edges = min(block_edges, e_pad)
@@ -210,6 +234,7 @@ def _block_spmm_impl(
             estarts_ref, src_ref, dst_ref, w_ref, x_ref, out_ref,
             sb, db, wb, ss, ds_, ws,
             block_edges=block_edges, num_edges=e_pad, weighted=weighted,
+            program_rows=program_rows,
         )
 
     in_specs = [
@@ -221,7 +246,7 @@ def _block_spmm_impl(
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         inputs.append(weight.astype(jnp.float32)[None, :])
     in_specs.append(
-        pl.BlockSpec((BLOCK_ROWS, f_pad), lambda i, *_: (i, 0),
+        pl.BlockSpec((program_rows, f_pad), lambda i, *_: (i, 0),
                      memory_space=pltpu.VMEM))
     inputs.append(x)
 
@@ -232,14 +257,14 @@ def _block_spmm_impl(
             grid=(grid,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (BLOCK_ROWS, f_pad), lambda i, *_: (i, 0),
+                (program_rows, f_pad), lambda i, *_: (i, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[s for s in scratch if s is not None],
         ),
         out_shape=jax.ShapeDtypeStruct((n, f_pad), x.dtype),
         interpret=interpret,
     )(estarts.astype(jnp.int32), *inputs)
-    return out[:, :f]
+    return out[:num_nodes, :f]
 
 
 def block_estarts(dst: jax.Array, num_nodes: int) -> jax.Array:
