@@ -179,6 +179,9 @@ class BiGNN:
         outer_layers, _ = self._outer_stack(inner_dim)
         params = self.cast(params)
         emb = emb.astype(self.compute_dtype)
+        dense = None
+        if getattr(outer, "dense_adj", None) is not None:
+            dense = (outer.dense_adj, outer.dense_cnt)
         for i, conv in enumerate(outer_layers):
             emb = conv.apply(
                 params["outer"][f"layer_{i}"],
@@ -189,6 +192,7 @@ class BiGNN:
                 outer.num_nodes,
                 src_perm=outer.edge_src_perm,
                 src_sorted=outer.edge_src_sorted,
+                dense=dense,
             )
         return emb
 

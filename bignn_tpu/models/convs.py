@@ -28,6 +28,30 @@ from bignn_tpu.ops import (
 from bignn_tpu.ops.gather import gather_rows, gather_rows_sorted_grad
 
 
+def _dense_masked_softmax_agg(e, cnt, v, compute_dtype):
+    """Dense attention aggregation over an adjacency-count mask.
+
+    ``e``: [N, S, H] f32 edge scores (pre-softmax), ``cnt``: [N, S] edge
+    multiplicity (0 = no edge), ``v``: [S, H, D] per-head values.
+    Returns [N, H, D]. Exactly matches sparse ``segment_softmax`` +
+    ``spmm_multihead``: multiplicity m scales exp(e) by m, and rows with no
+    incoming edges aggregate to 0. The double-``where`` keeps exp() inputs
+    finite so reverse-mode AD never multiplies a zero cotangent by inf.
+    """
+    valid = (cnt > 0)[:, :, None]  # [N, S, 1]
+    m = jnp.max(jnp.where(valid, e, -jnp.inf), axis=1, keepdims=True)
+    m = jnp.maximum(m, jnp.float32(-1e30))  # rows with no edges
+    z = jnp.where(valid, e - m, -1.0)
+    # floor must be a NORMAL f32: subnormals (e.g. 1e-38) flush to zero on
+    # TPU (and under XLA's FTZ on CPU), which would reintroduce 0/0 here
+    p = cnt[:, :, None] * jnp.exp(z)  # cnt==0 exactly where invalid
+    denom = jnp.maximum(p.sum(axis=1, keepdims=True), jnp.float32(1e-30))
+    alpha = (p / denom).astype(compute_dtype)
+    return jnp.einsum(
+        "dsh,shf->dhf", alpha, v, preferred_element_type=jnp.float32
+    ).astype(compute_dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class GCNConv:
     """Kipf-Welling GCN: ``x' = act( A_norm (x W) + b )``.
@@ -47,13 +71,18 @@ class GCNConv:
         }
 
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
-              src_perm=None, src_sorted=None, block_plan=None):
+              src_perm=None, src_sorted=None, block_plan=None, dense=None):
         h = jnp.dot(
             x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)
-        agg = spmm_sorted_coo(h, edge_src, edge_dst, edge_weight, num_nodes,
-                              src_perm=src_perm, src_sorted=src_sorted,
-                              block_plan=block_plan)
+        if dense is not None:  # small outer graph: one MXU matmul
+            agg = jnp.dot(
+                dense[0].astype(x.dtype), h, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+        else:
+            agg = spmm_sorted_coo(h, edge_src, edge_dst, edge_weight, num_nodes,
+                                  src_perm=src_perm, src_sorted=src_sorted,
+                                  block_plan=block_plan)
         return parse_activation(self.activation)(agg + params["b"]).astype(x.dtype)
 
 
@@ -78,11 +107,16 @@ class GINConv:
         return {"mlp": mlp.init(key), "eps": jnp.zeros((), jnp.float32)}
 
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
-              src_perm=None, src_sorted=None, block_plan=None):
+              src_perm=None, src_sorted=None, block_plan=None, dense=None):
         del edge_weight  # GIN ignores GCN normalization
-        agg = spmm_sorted_coo(x, edge_src, edge_dst, None, num_nodes,
-                              src_perm=src_perm, src_sorted=src_sorted,
-                              block_plan=block_plan)
+        if dense is not None:  # unweighted sum = multiplicity matmul
+            agg = jnp.dot(
+                dense[1].astype(x.dtype), x, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+        else:
+            agg = spmm_sorted_coo(x, edge_src, edge_dst, None, num_nodes,
+                                  src_perm=src_perm, src_sorted=src_sorted,
+                                  block_plan=block_plan)
         hidden = self.hidden_dim or self.out_dim
         mlp = MLP((self.in_dim, hidden, self.out_dim), self.activation)
         out = mlp.apply(params["mlp"], agg + params["eps"] * x)
@@ -124,7 +158,7 @@ class GATConv:
         }
 
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
-              src_perm=None, src_sorted=None, block_plan=None):
+              src_perm=None, src_sorted=None, block_plan=None, dense=None):
         del edge_weight, block_plan  # attention replaces fixed normalization
         H, D = self.heads, self.head_dim
         h = jnp.dot(
@@ -133,14 +167,20 @@ class GATConv:
         hh = h.reshape(-1, H, D)
         score_l = jnp.sum(hh * params["a_l"], axis=-1)  # [N, H] (dst part)
         score_r = jnp.sum(hh * params["a_r"], axis=-1)  # [N, H] (src part)
-        # sorted-scatter backward: dst is sorted; src uses the precomputed
-        # source-sort permutation (ops/gather.py — no scatter HLO)
-        e = gather_rows_sorted_grad(score_l, edge_dst) + gather_rows_sorted_grad(
-            score_r, edge_src, perm=src_perm, ids_sorted=src_sorted)
-        e = jax.nn.leaky_relu(e, self.negative_slope)  # [E, H]
-        alpha = segment_softmax(e, edge_dst, num_nodes)  # [E, H]
-        agg = spmm_multihead(hh, edge_src, edge_dst, alpha.astype(x.dtype), num_nodes,
-                             src_perm=src_perm, src_sorted=src_sorted)
+        if dense is not None:  # masked dense attention over [N, N]
+            e = jax.nn.leaky_relu(
+                score_l[:, None, :] + score_r[None, :, :], self.negative_slope)
+            agg = _dense_masked_softmax_agg(e, dense[1], hh, x.dtype)
+        else:
+            # sorted-scatter backward: dst is sorted; src uses the precomputed
+            # source-sort permutation (ops/gather.py — no scatter HLO)
+            e = gather_rows_sorted_grad(score_l, edge_dst) + gather_rows_sorted_grad(
+                score_r, edge_src, perm=src_perm, ids_sorted=src_sorted)
+            e = jax.nn.leaky_relu(e, self.negative_slope)  # [E, H]
+            alpha = segment_softmax(e, edge_dst, num_nodes)  # [E, H]
+            agg = spmm_multihead(hh, edge_src, edge_dst, alpha.astype(x.dtype),
+                                 num_nodes,
+                                 src_perm=src_perm, src_sorted=src_sorted)
         return parse_activation(self.activation)(
             agg.reshape(-1, H * D) + params["b"]
         ).astype(x.dtype)
@@ -178,7 +218,7 @@ class DotAttnConv:
         }
 
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
-              src_perm=None, src_sorted=None, block_plan=None):
+              src_perm=None, src_sorted=None, block_plan=None, dense=None):
         del edge_weight, block_plan
         H, D = self.heads, self.head_dim
         def _proj(w):
@@ -189,6 +229,14 @@ class DotAttnConv:
         q = _proj(params["wq"])
         k = _proj(params["wk"])
         v = _proj(params["wv"])
+        if dense is not None:  # full q.k on the MXU, masked softmax
+            e = jnp.einsum(
+                "dhf,shf->dsh", q, k, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(jnp.float32(D))
+            agg = _dense_masked_softmax_agg(e, dense[1], v, x.dtype)
+            return parse_activation(self.activation)(
+                agg.reshape(-1, H * D) + params["b"]
+            ).astype(x.dtype)
         e = sddmm(q, k, edge_src, edge_dst) / jnp.sqrt(jnp.float32(D))  # [E, H]
         alpha = segment_softmax(e, edge_dst, num_nodes)
         agg = spmm_multihead(v, edge_src, edge_dst, alpha.astype(x.dtype), num_nodes,

@@ -134,6 +134,16 @@ class OuterGraph:
     edge_cap: int = struct.field(pytree_node=False)
     edge_src_perm: np.ndarray | None = None  # argsort(edge_src), see above
     edge_src_sorted: np.ndarray | None = None
+    # Dense materialization (small outer graphs only): DDI graphs are tiny
+    # (DrugBank ~1.7K drugs) but dense in edges (~9%); at that shape masked
+    # dense attention / A@X on the MXU beats sparse segment ops by ~10x —
+    # every per-edge op becomes an [N, N] matmul or fused elementwise pass.
+    #   dense_adj[d, s] = sum of edge_weight over edges s->d   (GCN SpMM)
+    #   dense_cnt[d, s] = edge multiplicity                    (GIN sum,
+    #     GAT/DotAttn softmax mask — exact even with duplicate edges:
+    #     multiplicity m scales exp(e) by m, identical to m sparse edges)
+    dense_adj: np.ndarray | None = None  # [num_nodes, num_nodes] f32
+    dense_cnt: np.ndarray | None = None  # [num_nodes, num_nodes] f32
 
 
 # ---------------------------------------------------------------------------
@@ -330,17 +340,29 @@ def build_outer_graph(
     normalize: bool = True,
     add_self_loops: bool = True,
     symmetrize_edges: bool = True,
+    dense_max_nodes: int = 4096,
 ) -> OuterGraph:
     """Build the padded outer interaction graph from an undirected edge list.
 
     The reference treats DDI edges as undirected (SURVEY.md §2.1 R6); we store
     both directions so message passing covers each endpoint.
+
+    When ``num_nodes <= dense_max_nodes`` the graph is also materialized
+    densely (``dense_adj``/``dense_cnt``, <=2x67MB at the cap) so the outer
+    convs take the MXU dense path; 0 disables. Large graphs (config #4's
+    100K drugs) stay sparse automatically.
     """
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     if symmetrize_edges:
         src, dst = symmetrize(src, dst)
     src, dst, w = _build_sorted(src, dst, num_nodes, normalize, add_self_loops)
+    dense_adj = dense_cnt = None
+    if 0 < num_nodes <= dense_max_nodes:
+        dense_adj = np.zeros((num_nodes, num_nodes), np.float32)
+        np.add.at(dense_adj, (dst, src), w)
+        dense_cnt = np.zeros((num_nodes, num_nodes), np.float32)
+        np.add.at(dense_cnt, (dst, src), 1.0)
     n_edges = src.shape[0]
     if edge_cap is None:
         # 128-aligned so Pallas segment kernels take the zero-copy fast path
@@ -357,4 +379,6 @@ def build_outer_graph(
         edge_cap=int(edge_cap),
         edge_src_perm=sperm,
         edge_src_sorted=ssorted,
+        dense_adj=dense_adj,
+        dense_cnt=dense_cnt,
     )
