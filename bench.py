@@ -84,36 +84,40 @@ def main() -> None:
     edges_per_step = inner_edges * n_inner_layers + outer_edges * n_outer_layers
 
     rng = np.random.default_rng(0)
-    pos = jnp.asarray(
-        rng.integers(0, ds.num_drugs, (args.batch, 2)), jnp.int32
+    steps = max(10, args.steps)
+    pos_all = jnp.asarray(
+        rng.integers(0, ds.num_drugs, (steps, args.batch, 2)), jnp.int32
     )
     mask = jnp.ones(args.batch, jnp.float32)
-    key = jax.random.key(0)
 
-    # warmup / compile — several steps: the first touch of the device (and,
-    # under the axon tunnel, the first few dispatches) can be 10x+ slower
-    # than steady state, which would corrupt a one-shot measurement.
-    for _ in range(3):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = trainer._train_step(
-            params, opt_state, sub, pos, mask
-        )
-    loss.block_until_ready()
-
-    # best-of-chunks timing: robust to transient slowness (tunnel hiccups,
-    # host interference) that a single averaged window is not.
-    chunks = 3
-    per_chunk = max(1, args.steps // chunks)
-    best = float("inf")
-    for _ in range(chunks):
-        t0 = time.perf_counter()
-        for _ in range(per_chunk):
+    # All measured steps run inside ONE jit via lax.scan: per-step Python
+    # dispatch is excluded (it pipelines away in a real training loop), and
+    # the final np.asarray forces a device round-trip. block_until_ready is
+    # NOT a reliable fence under the axon TPU tunnel (measured both under-
+    # and over-reporting vs a forced D2H depending on queue depth).
+    @jax.jit
+    def run_steps(params, opt_state, key, pos_all):
+        def body(carry, pos):
+            params, opt_state, key = carry
             key, sub = jax.random.split(key)
-            params, opt_state, loss = trainer._train_step(
-                params, opt_state, sub, pos, mask
-            )
-        loss.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / per_chunk)
+            params, opt_state, loss = trainer._step(
+                params, opt_state, sub, pos, mask)
+            return (params, opt_state, key), loss
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, key), pos_all)
+        return params, opt_state, losses
+
+    key = jax.random.key(0)
+    params, opt_state, losses = run_steps(params, opt_state, key, pos_all)
+    np.asarray(losses)  # compile + warm
+
+    # best-of-chunks: robust to transient tunnel/host slowness.
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, losses = run_steps(params, opt_state, key, pos_all)
+        np.asarray(losses)
+        best = min(best, (time.perf_counter() - t0) / steps)
     dt = best
 
     n_chips = 1  # single-chip bench; scaling efficiency measured in tests/dist

@@ -183,10 +183,15 @@ def _block_spmm_impl(
     # (DMA setup/waits, x/out block moves) dominates at avg ~450 edges per
     # 128-row block (measured ~2us/program -> 7.5 ms/layer at config #4),
     # while block-locality holds within any aligned superblock for free.
-    # Wider programs trade one-hot FLOPs (linear in program_rows) for
-    # per-program overhead; bf16's MXU headroom affords wider spans.
+    # Wider programs trade one-hot FLOPs (LINEAR in program_rows: each edge
+    # chunk does two [block_edges, pr] dots) for per-program overhead.
+    # 512 is the measured sweet spot: an interleaved in-process A/B on
+    # config #4 (F=128) had 512 beating both 256 and 1024 in 3 of 4 rounds,
+    # and DrugBank (F=64) showed 256 vs 512 within noise. All timings
+    # sync-honest (forced D2H; block_until_ready is unreliable over the
+    # axon tunnel).
     if program_rows is None:
-        program_rows = 1024 if x.dtype == jnp.bfloat16 else 512
+        program_rows = 512
     program_rows = min(program_rows, _round_up(n, 128))
     n_pad = _round_up(n, program_rows)
     if n_pad != n:

@@ -125,7 +125,7 @@ def main():
         hb = s.sample_compact()
         hb_d = jax.tree.map(jnp.asarray, hb)
         params, opt_state, loss = tr._train_step(params, opt_state, hb_d, tr.tables)
-    jax.block_until_ready(loss)
+    _ = float(loss)  # forced D2H: block_until_ready is not a reliable fence
     steady = (time.perf_counter() - t0) / args.steps
     print(json.dumps({
         "metric": "config4_edges_per_s_per_chip",
