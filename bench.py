@@ -25,7 +25,10 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="drugbank",
                         choices=["small", "drugbank", "large"])
-    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--steps", type=int, default=200,
+                        help="steps per timed scan; the ~25ms fixed "
+                             "dispatch+D2H cost of the device tunnel "
+                             "amortizes as 1/steps")
     parser.add_argument("--batch", type=int, default=2048)
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "xla", "pallas"])
