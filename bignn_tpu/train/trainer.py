@@ -331,15 +331,24 @@ class MinibatchTrainer:
         packed_s = jax.lax.optimization_barrier(jnp.take(
             tb.edge_packed,
             jnp.clip(esr_idx, 0, tb.edge_packed.shape[0] - 1), axis=0))
-        packed = packed_s.reshape(EC, 8)
+        # superrows are FIELD-MAJOR ([R_E src][R_E dst]... — see tables()):
+        # each field is a contiguous slice of the gather output, so the 8
+        # column extractions below are free reshapes, not a [EC,8]
+        # transpose (which XLA materialized at ~8 ms/step at config-#4
+        # scale when these feed the SpMM kernel).
+        pf = packed_s.reshape(ECs, 8, R_E)
+
+        def col(j):
+            return pf[:, j, :].reshape(EC)
+
         epos = jnp.arange(EC, dtype=jnp.int32)
         node_off = rep(erow[:, 0], R_E)
         ecum0e = rep(erow[:, 2], R_E)
         evalid = (epos - ecum0e) < rep(erow[:, 3], R_E)
-        edge_src = jnp.where(evalid, packed[:, 0] + node_off, 0)
-        edge_dst = jnp.where(evalid, packed[:, 1] + node_off, NC)
+        edge_src = jnp.where(evalid, col(0) + node_off, 0)
+        edge_dst = jnp.where(evalid, col(1) + node_off, NC)
         edge_w = jnp.where(
-            evalid, jax.lax.bitcast_convert_type(packed[:, 2], jnp.float32),
+            evalid, jax.lax.bitcast_convert_type(col(2), jnp.float32),
             0.0,
         )
         # source-sort permutation, expanded from the per-molecule tables:
@@ -348,16 +357,16 @@ class MinibatchTrainer:
         # real batch edges in GLOBAL src order (offsets increase
         # monotonically); padding positions map to themselves with segment
         # id NC (dropped), so sperm stays a permutation of [0, EC).
-        sperm = jnp.where(evalid, ecum0e + packed[:, 3], epos)
-        ssorted = jnp.where(evalid, packed[:, 4] + node_off, NC)
+        sperm = jnp.where(evalid, ecum0e + col(3), epos)
+        ssorted = jnp.where(evalid, col(4) + node_off, NC)
         if block_local:
             # transposed (src-sorted) edge list for the block-local
             # backward, straight from packed columns 5-6 (the tables store
             # dst/w in local src-sorted order, so no device permutation).
-            tsrc = jnp.where(evalid, packed[:, 5] + node_off, 0)
+            tsrc = jnp.where(evalid, col(5) + node_off, 0)
             tw = jnp.where(
                 evalid,
-                jax.lax.bitcast_convert_type(packed[:, 6], jnp.float32), 0.0,
+                jax.lax.bitcast_convert_type(col(6), jnp.float32), 0.0,
             )
             # block edge ranges: block b's molecules start at host-computed
             # slot block_slot0[b], so estarts[b] = ecum0[block_slot0[b]] —

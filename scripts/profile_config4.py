@@ -65,6 +65,8 @@ def main():
     p.add_argument("--fanouts", default="10,5")
     p.add_argument("--max-drugs", type=int, default=16384)
     p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     from bignn_tpu.data import make_synthetic_ddi
@@ -90,7 +92,10 @@ def main():
         print(f"dataset built in {time.perf_counter()-t0:.1f}s (cached)")
 
     fanouts = tuple(int(x) for x in args.fanouts.split(","))
-    model = BiGNN(BiGNNConfig.full_bignn(feat_dim=32, dim=args.dim, heads=4))
+    import dataclasses
+    model = BiGNN(dataclasses.replace(
+        BiGNNConfig.full_bignn(feat_dim=32, dim=args.dim, heads=4),
+        dtype=args.dtype))
     tr = MinibatchTrainer(
         model, ds, TrainConfig(lr=1e-3, epochs=1, batch_size=args.batch),
         fanouts=fanouts, max_drugs=args.max_drugs,
