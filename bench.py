@@ -62,7 +62,10 @@ def main() -> None:
     import dataclasses
 
     ds = load_dataset(name, **spec)
-    data = prepare_device_data(ds, max_buckets=4)
+    # single bucket: the block-local packing already bounds padding, so size
+    # bucketing only fragments the inner level into more kernel launches
+    # (measured 2.12 -> 1.89 ms/step at 4 -> 1 buckets on the drugbank preset)
+    data = prepare_device_data(ds, max_buckets=1)
     model_cfg = dataclasses.replace(
         BiGNNConfig.full_bignn(feat_dim=ds.feat_dim, dim=args.dim, heads=4),
         dtype=args.dtype,

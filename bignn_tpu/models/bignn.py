@@ -143,6 +143,9 @@ class BiGNN:
             block_plan = (batch.block_estarts, batch.edge_tsrc,
                           batch.edge_tdst, batch.edge_tweight,
                           batch.block_tstarts)
+        block_dense = None
+        if batch.block_adj is not None:
+            block_dense = (batch.block_adj, batch.block_cnt)
         for i, conv in enumerate(inner):
             x = conv.apply(
                 params["inner"][f"layer_{i}"],
@@ -154,6 +157,7 @@ class BiGNN:
                 src_perm=batch.edge_src_perm,
                 src_sorted=batch.edge_src_sorted,
                 block_plan=block_plan,
+                block_dense=block_dense,
             )
         return readout.apply(
             params["readout"], x, batch.graph_ids, batch.num_graphs, batch.graph_n_nodes

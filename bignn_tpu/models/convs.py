@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from bignn_tpu.models.modules import MLP, Dense, glorot, parse_activation
 from bignn_tpu.ops import (
+    block_diag_spmm,
     sddmm,
     segment_softmax,
     segment_sum,
@@ -71,7 +72,8 @@ class GCNConv:
         }
 
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
-              src_perm=None, src_sorted=None, block_plan=None, dense=None):
+              src_perm=None, src_sorted=None, block_plan=None, dense=None,
+              block_dense=None):
         h = jnp.dot(
             x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)
@@ -79,6 +81,8 @@ class GCNConv:
             agg = jnp.dot(
                 dense[0].astype(x.dtype), h, preferred_element_type=jnp.float32
             ).astype(x.dtype)
+        elif block_dense is not None:  # block-diagonal batched MXU matmul
+            agg = block_diag_spmm(block_dense[0], h)
         else:
             agg = spmm_sorted_coo(h, edge_src, edge_dst, edge_weight, num_nodes,
                                   src_perm=src_perm, src_sorted=src_sorted,
@@ -107,12 +111,15 @@ class GINConv:
         return {"mlp": mlp.init(key), "eps": jnp.zeros((), jnp.float32)}
 
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
-              src_perm=None, src_sorted=None, block_plan=None, dense=None):
+              src_perm=None, src_sorted=None, block_plan=None, dense=None,
+              block_dense=None):
         del edge_weight  # GIN ignores GCN normalization
         if dense is not None:  # unweighted sum = multiplicity matmul
             agg = jnp.dot(
                 dense[1].astype(x.dtype), x, preferred_element_type=jnp.float32
             ).astype(x.dtype)
+        elif block_dense is not None:  # unweighted block-diagonal matmul
+            agg = block_diag_spmm(block_dense[1], x)
         else:
             agg = spmm_sorted_coo(x, edge_src, edge_dst, None, num_nodes,
                                   src_perm=src_perm, src_sorted=src_sorted,
@@ -158,8 +165,11 @@ class GATConv:
         }
 
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
-              src_perm=None, src_sorted=None, block_plan=None, dense=None):
-        del edge_weight, block_plan  # attention replaces fixed normalization
+              src_perm=None, src_sorted=None, block_plan=None, dense=None,
+              block_dense=None):
+        # attention replaces fixed normalization; the block-dense masked
+        # attention path is future work (flagship configs use GIN inner)
+        del edge_weight, block_plan, block_dense
         H, D = self.heads, self.head_dim
         h = jnp.dot(
             x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32
@@ -218,8 +228,9 @@ class DotAttnConv:
         }
 
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
-              src_perm=None, src_sorted=None, block_plan=None, dense=None):
-        del edge_weight, block_plan
+              src_perm=None, src_sorted=None, block_plan=None, dense=None,
+              block_dense=None):
+        del edge_weight, block_plan, block_dense
         H, D = self.heads, self.head_dim
         def _proj(w):
             return jnp.dot(

@@ -65,3 +65,28 @@ def spmm_sorted_coo(
     if weight is not None:
         msgs = msgs * weight[:, None].astype(msgs.dtype)
     return segment_sum(msgs, dst, num_out, backend="xla")
+
+
+def block_diag_spmm(adj_blocks: jax.Array, x: jax.Array) -> jax.Array:
+    """Dense block-diagonal SpMM: ``y = blockdiag(adj_blocks) @ x``.
+
+    ``adj_blocks`` is [nblk, 128, 128] (dst-local x src-local within each
+    128-row block of the block-local layout; sparse/formats.py builds it for
+    small enough batches). One batched matmul with perfect MXU tiles — on the
+    static full-graph workloads (DrugBank/BioSNAP scale) this measures ~50x
+    faster than streaming the packed edge list (fwd+bwd ~10us vs ~0.5ms at
+    161K edges, F=64, v5e), because the one-hot edge kernel pays
+    2*block_edges*program_rows FLOPs per edge while the dense form pays
+    exactly 128 MACs per matrix slot. AD handles the backward (A^T stays
+    block-diagonal).
+    """
+    nblk = adj_blocks.shape[0]
+    n, f = x.shape
+    assert n == nblk * 128, (n, nblk)
+    y = jax.lax.dot_general(
+        adj_blocks.astype(x.dtype),
+        x.reshape(nblk, 128, f),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return y.reshape(n, f).astype(x.dtype)
