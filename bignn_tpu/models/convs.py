@@ -178,9 +178,22 @@ class GATConv:
         score_l = jnp.sum(hh * params["a_l"], axis=-1)  # [N, H] (dst part)
         score_r = jnp.sum(hh * params["a_r"], axis=-1)  # [N, H] (src part)
         if dense is not None:  # masked dense attention over [N, N]
-            e = jax.nn.leaky_relu(
-                score_l[:, None, :] + score_r[None, :, :], self.negative_slope)
-            agg = _dense_masked_softmax_agg(e, dense[1], hh, x.dtype)
+            from bignn_tpu.ops.dispatch import get_backend
+
+            b = get_backend()
+            if b in ("pallas", "pallas_interpret"):
+                # flash-tiled: no [N, N, H] intermediate ever reaches HBM
+                from bignn_tpu.ops.pallas.flash_gat import flash_gat_attention
+
+                agg = flash_gat_attention(
+                    score_l.astype(jnp.float32), score_r.astype(jnp.float32),
+                    hh, dense[1], self.negative_slope,
+                    b == "pallas_interpret").astype(x.dtype)
+            else:
+                e = jax.nn.leaky_relu(
+                    score_l[:, None, :] + score_r[None, :, :],
+                    self.negative_slope)
+                agg = _dense_masked_softmax_agg(e, dense[1], hh, x.dtype)
         else:
             # sorted-scatter backward: dst is sorted; src uses the precomputed
             # source-sort permutation (ops/gather.py — no scatter HLO)
