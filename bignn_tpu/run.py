@@ -112,7 +112,7 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False):
         make_p2_train_step,
     )
     from bignn_tpu.parallel.step import make_p2_score_fn
-    from bignn_tpu.train.metrics import average_precision, roc_auc
+    from bignn_tpu.train.metrics import average_precision_jnp, roc_auc_jnp
 
     n_dev = len(jax.devices())
     graph = min(cfg.graph_shards, n_dev)
@@ -139,21 +139,30 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False):
     score_fn = make_p2_score_fn(model, mesh, overlap=overlap)
     dp_pad = dp  # eval pair count must divide the dp axis
 
+    # Metrics stay on device: scores are never funneled to host; the exact
+    # tie-aware device AUC/AP (train/metrics.py) run under jit and only the
+    # two scalars are transferred (VERDICT r1 item 6 / DESIGN.md §6).
+    @jax.jit
+    def _device_metrics(scores, labels, mask):
+        return (roc_auc_jnp(labels, scores, mask),
+                average_precision_jnp(labels, scores, mask))
+
     def evaluate(split):
         from bignn_tpu.data.sampler import sample_negative_pairs
 
         pos = jnp.asarray(ds.split_edges(split).astype(np.int32))
         neg = sample_negative_pairs(jax.random.key(1234), pos, ds.num_drugs, 1)
-        pairs = np.concatenate([np.asarray(pos), np.asarray(neg)])
-        labels = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
-        pad = (-len(pairs)) % dp_pad
-        pairs_p = np.concatenate([pairs, np.zeros((pad, 2), np.int32)])
-        scores = np.asarray(score_fn(
-            params, jnp.asarray(pairs_p, jnp.int32),
-            inner_d, esrc, edst, ew, sidx,
-        ))[: len(pairs)]
-        return {f"{split}_auc": roc_auc(labels, scores),
-                f"{split}_ap": average_precision(labels, scores)}
+        n_pos, n_neg = pos.shape[0], neg.shape[0]
+        pad = (-(n_pos + n_neg)) % dp_pad
+        pairs_p = jnp.concatenate(
+            [pos, neg, jnp.zeros((pad, 2), jnp.int32)]).astype(jnp.int32)
+        labels = jnp.concatenate(
+            [jnp.ones(n_pos), jnp.zeros(n_neg + pad)])
+        mask = jnp.concatenate(
+            [jnp.ones(n_pos + n_neg), jnp.zeros(pad)])
+        scores = score_fn(params, pairs_p, inner_d, esrc, edst, ew, sidx)
+        auc, ap = _device_metrics(scores, labels, mask)
+        return {f"{split}_auc": float(auc), f"{split}_ap": float(ap)}
 
     import time as _time
 

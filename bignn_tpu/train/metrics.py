@@ -69,10 +69,14 @@ def average_precision(labels: np.ndarray, scores: np.ndarray) -> float:
 
 
 def roc_auc_jnp(labels: jax.Array, scores: jax.Array, mask: jax.Array | None = None) -> jax.Array:
-    """Rank-sum AUC on device. Masked entries are excluded by pushing them to
-    -inf (they take the lowest ranks, then the rank-sum subtracts exactly the
-    contribution a block of minimum ranks would add — handled by masking the
-    positives' ranks directly)."""
+    """Exact tie-aware rank-sum AUC on device (matches host ``roc_auc``).
+
+    Ties receive the Mann-Whitney average rank, computed as
+    (searchsorted_left + searchsorted_right + 1) / 2 against the sorted
+    scores — O(n log n), jit-friendly, no scatter. Masked entries are pushed
+    to -inf so they occupy the lowest rank block; subtracting the masked
+    count re-bases valid ranks to the valid subset (ties among masked -inf
+    entries never interact with valid scores, which are strictly greater)."""
     scores = scores.astype(jnp.float32)
     labels = labels.astype(jnp.float32)
     if mask is None:
@@ -80,10 +84,10 @@ def roc_auc_jnp(labels: jax.Array, scores: jax.Array, mask: jax.Array | None = N
     mask = mask.astype(jnp.float32)
     neg_inf = jnp.finfo(jnp.float32).min
     eff_scores = jnp.where(mask > 0, scores, neg_inf)
-    order = jnp.argsort(eff_scores)
-    ranks = jnp.empty_like(scores).at[order].set(
-        jnp.arange(1, scores.shape[0] + 1, dtype=jnp.float32)
-    )
+    s = jnp.sort(eff_scores)
+    lo = jnp.searchsorted(s, eff_scores, side="left").astype(jnp.float32)
+    hi = jnp.searchsorted(s, eff_scores, side="right").astype(jnp.float32)
+    ranks = 0.5 * (lo + hi + 1.0)  # 1-based average rank, tie-aware
     n_masked_out = jnp.sum(1.0 - mask)
     ranks = ranks - n_masked_out  # ranks within the valid subset
     n_pos = jnp.sum(labels * mask)
