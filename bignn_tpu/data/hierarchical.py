@@ -292,6 +292,18 @@ class HierarchicalSampler:
                           minlength=self.num_nodes).astype(np.float64)
         self._inv_sqrt_deg = (1.0 / np.sqrt(np.maximum(deg, 1.0))).astype(np.float32)
 
+        # truncation observability: every cap-overflow drop in
+        # _subgraph_from_pairs is counted here so a too-tight statistical cap
+        # can never degrade accuracy invisibly ("no silent caps"). Counters
+        # are reset after cap calibration and surfaced per-epoch by
+        # MinibatchTrainer via truncation_stats().
+        self.truncation = {
+            "trunc_batches": 0,
+            "trunc_nodes_dropped": 0,
+            "trunc_outer_edges_dropped": 0,
+            "batches_sampled": 0,
+        }
+
         # ---- static caps -------------------------------------------------
         seeds = batch_size * 2 * (1 + neg_ratio)
         budget = seeds
@@ -360,6 +372,17 @@ class HierarchicalSampler:
                 # keep a multiple of 128 (the block grid granule)
                 self.node_cap = min(
                     self.node_cap, _round_up(int(max_ext * 1.08) + 256, 128))
+            self.reset_truncation_stats()  # calibration draws don't count
+
+    def truncation_stats(self, reset: bool = False) -> dict:
+        """Per-epoch truncation counters (copy); ``reset`` zeroes them."""
+        out = dict(self.truncation)
+        if reset:
+            self.reset_truncation_stats()
+        return out
+
+    def reset_truncation_stats(self) -> None:
+        self.truncation = {k: 0 for k in self.truncation}
 
     def __len__(self) -> int:
         return -(-len(self.train_pairs) // self.batch_size)
@@ -463,6 +486,8 @@ class HierarchicalSampler:
 
         seeds = np.unique(all_pairs.reshape(-1))
         nodes, es, ed = self._sample_neighbors(seeds)
+        n_sampled = len(nodes)
+        self.truncation["batches_sampled"] += 1
         if len(nodes) > self.drug_budget:  # cap overflow: keep seeds first
             nodes = nodes[: self.drug_budget]
         # seed-preserving prefix truncation against the statistical caps:
@@ -491,6 +516,9 @@ class HierarchicalSampler:
             nodes = nodes[:keep]
             if off is not None:
                 off = off[:keep]
+        if len(nodes) < n_sampled:
+            self.truncation["trunc_nodes_dropped"] += n_sampled - len(nodes)
+            self.truncation["trunc_batches"] += 1
         n_loc = len(nodes)
         local_arr = np.full(self.num_nodes, -1, np.int64)
         local_arr[nodes] = np.arange(n_loc)
@@ -514,6 +542,8 @@ class HierarchicalSampler:
         su, sv, w = su[order], sv[order], w[order].astype(np.float32)
         oe_cap = self.outer_edge_cap
         if len(su) > oe_cap:
+            self.truncation["trunc_outer_edges_dropped"] += len(su) - oe_cap
+            self.truncation["trunc_batches"] += 1
             su, sv, w = su[:oe_cap], sv[:oe_cap], w[:oe_cap]
 
         pa = local_arr[all_pairs[:, 0]]

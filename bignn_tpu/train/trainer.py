@@ -508,6 +508,10 @@ class MinibatchTrainer:
                 "epoch": epoch,
                 "loss": float(jnp.mean(jnp.stack(losses))),
                 "epoch_time_s": time.perf_counter() - t0,
+                # sampler cap-truncation counters ("no silent caps"): dropped
+                # far-neighbor nodes / outer edges this epoch; zero in healthy
+                # configs (data/hierarchical.py truncation_stats)
+                **self.sampler.truncation_stats(reset=True),
             }
             if (epoch + 1) % cfg.eval_every == 0 or epoch == cfg.epochs - 1:
                 rec.update(self.evaluate(params, "val"))

@@ -112,3 +112,40 @@ def test_compact_trainer_loss_decreases(ds):
     losses = [r["loss"] for r in res["history"]]
     assert losses[-1] < losses[0]
     assert np.isfinite(res["test_auc"])
+
+
+def test_truncation_counters_zero_by_default(ds):
+    # default caps are generous: no silent drops in healthy configs
+    s = HierarchicalSampler(ds, batch_size=32, neg_ratio=1, fanouts=(5,), seed=0)
+    for _ in range(4):
+        s.sample()
+    st = s.truncation_stats()
+    assert st["batches_sampled"] == 4
+    assert st["trunc_batches"] == 0
+    assert st["trunc_nodes_dropped"] == 0
+    assert st["trunc_outer_edges_dropped"] == 0
+
+
+def test_truncation_counters_fire_on_tight_budget(ds):
+    # max_drugs below the natural expansion forces node truncation; the
+    # counters must record it (no silent caps)
+    s = HierarchicalSampler(
+        ds, batch_size=16, neg_ratio=1, fanouts=(8, 8), seed=0, max_drugs=70
+    )
+    for _ in range(3):
+        s.sample()
+    st = s.truncation_stats(reset=True)
+    assert st["trunc_nodes_dropped"] > 0
+    assert st["trunc_batches"] > 0
+    assert s.truncation_stats()["trunc_nodes_dropped"] == 0  # reset worked
+
+
+def test_truncation_counters_in_fit_record(ds):
+    model = BiGNN(BiGNNConfig.config1(feat_dim=ds.feat_dim))
+    tr = MinibatchTrainer(
+        model, ds, TrainConfig(epochs=1, batch_size=16), fanouts=(4,)
+    )
+    _, result = tr.fit(steps_per_epoch=2)
+    rec = result["history"][0]
+    assert "trunc_batches" in rec and "trunc_nodes_dropped" in rec
+    assert rec["batches_sampled"] >= 2  # train draws (+ eval chunks)
