@@ -174,6 +174,7 @@ class HierarchicalSampler:
         self.batch_size = batch_size
         self.neg_ratio = neg_ratio
         self.fanouts = tuple(fanouts)
+        self.seed = int(seed)
         self._rng = np.random.default_rng(seed)
         self.num_nodes = ds.num_drugs
 
@@ -373,6 +374,15 @@ class HierarchicalSampler:
                 self.node_cap = min(
                     self.node_cap, _round_up(int(max_ext * 1.08) + 256, 128))
             self.reset_truncation_stats()  # calibration draws don't count
+
+    def reseed(self, epoch_idx: int) -> None:
+        """Make all draws from now on a pure function of (seed, epoch_idx).
+
+        Called by MinibatchTrainer at each epoch start so the sampled
+        trajectory is reproducible from (seed, epoch) alone — exact
+        checkpoint-resume then needs no host-RNG state serialization, and
+        eval-time draws (which advance the rng) can't perturb training."""
+        self._rng = np.random.default_rng((self.seed, epoch_idx))
 
     def truncation_stats(self, reset: bool = False) -> dict:
         """Per-epoch truncation counters (copy); ``reset`` zeroes them."""

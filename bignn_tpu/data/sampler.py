@@ -65,13 +65,19 @@ class EdgeMinibatchSampler:
     def __init__(self, pos_pairs: np.ndarray, batch_size: int, seed: int = 0):
         self.pos = np.asarray(pos_pairs, np.int32)
         self.batch_size = int(batch_size)
+        self.seed = int(seed)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
         return -(-self.pos.shape[0] // self.batch_size)
 
-    def epoch(self):
-        perm = self._rng.permutation(self.pos.shape[0])
+    def epoch(self, epoch_idx: int | None = None):
+        """``epoch_idx`` makes the epoch's shuffle a pure function of
+        (seed, epoch_idx) — required for exact checkpoint-resume (the
+        trainer passes it); None keeps the stateful-rng behavior."""
+        rng = (np.random.default_rng((self.seed, epoch_idx))
+               if epoch_idx is not None else self._rng)
+        perm = rng.permutation(self.pos.shape[0])
         for start in range(0, len(perm), self.batch_size):
             idx = perm[start : start + self.batch_size]
             pairs = self.pos[idx]

@@ -70,22 +70,23 @@ def main(argv=None) -> dict:
         args.run_dir and args.checkpoint_every
     ) else None
 
+    fit_kw = dict(log_fn=logger)
+    if ckpt is not None:
+        fit_kw.update(ckpt=ckpt, checkpoint_every=args.checkpoint_every)
     with profile_trace(args.profile):
         if cfg.mode == "minibatch":
             trainer = MinibatchTrainer(model, ds, cfg.train, fanouts=cfg.fanouts,
                                        max_drugs=cfg.max_drugs)
-            params, result = trainer.fit(log_fn=logger)
+            params, result = trainer.fit(**fit_kw)
         elif cfg.mode == "p2":
             result = _run_p2(model, ds, cfg, logger, overlap=args.overlap)
             params = None
         else:
             data = prepare_device_data(ds, max_buckets=cfg.max_buckets)
             trainer = Trainer(model, data, cfg.train)
-            params, result = trainer.fit(log_fn=logger)
+            params, result = trainer.fit(**fit_kw)
 
-    if ckpt is not None and params is not None:
-        ckpt.save(result.get("best_epoch", 0), params, None,
-                  {"test_auc": result.get("test_auc")})
+    if ckpt is not None:
         ckpt.close()
 
     summary = {k: v for k, v in result.items() if k != "history"}

@@ -34,6 +34,19 @@ class CheckpointManager:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
 
+    def save_state(self, step: int, state: dict):
+        """Save an arbitrary training-state pytree (params, opt_state, best
+        params, epoch counter, metrics) — the fit() periodic-checkpoint path."""
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def restore_state(self, template: dict, step: int | None = None):
+        """Restore the latest (or given) full training state; None if empty."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 

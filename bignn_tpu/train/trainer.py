@@ -128,22 +128,38 @@ class Trainer:
         params=None,
         opt_state=None,
         log_fn: Callable[[dict], None] | None = None,
+        ckpt=None,
+        checkpoint_every: int = 1,
     ) -> tuple[Any, dict]:
-        """Full training run; returns (best_params, history)."""
+        """Full training run; returns (best_params, history).
+
+        ``ckpt`` (a train.checkpoint.CheckpointManager) enables periodic
+        checkpointing + exact resume: every epoch's randomness is derived
+        from (seed, epoch) — fold_in for the device PRNG, per-epoch-seeded
+        shuffles on the host — so restoring {params, opt_state, epoch, best}
+        reproduces the uninterrupted loss trajectory bit-for-bit (tested in
+        tests/test_checkpoint_resume.py). On resume, ``history`` covers only
+        the epochs run in this process."""
         cfg = self.config
         if params is None:
             params, opt_state = self.init()
         sampler = EdgeMinibatchSampler(self.data.train_pairs, cfg.batch_size, cfg.seed)
-        key = jax.random.key(cfg.seed + 1)
+        base_key = jax.random.key(cfg.seed + 1)
         best = {"val_auc": -1.0, "params": params, "epoch": -1}
+        start_epoch = 0
+        if ckpt is not None:
+            restored = ckpt.restore_state(_fit_state(params, opt_state, best))
+            if restored is not None:
+                params, opt_state, best, start_epoch = _unpack_fit_state(restored)
         history = []
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.perf_counter()
             losses = []
-            for pairs, mask in sampler.epoch():
-                key, sub = jax.random.split(key)
+            ekey = jax.random.fold_in(base_key, epoch)
+            for i, (pairs, mask) in enumerate(sampler.epoch(epoch)):
                 params, opt_state, loss = self._train_step(
-                    params, opt_state, sub, jnp.asarray(pairs), jnp.asarray(mask)
+                    params, opt_state, jax.random.fold_in(ekey, i),
+                    jnp.asarray(pairs), jnp.asarray(mask)
                 )
                 losses.append(loss)
             rec = {
@@ -158,8 +174,33 @@ class Trainer:
             history.append(rec)
             if log_fn:
                 log_fn(rec)
+            if ckpt is not None and (epoch + 1) % checkpoint_every == 0:
+                ckpt.save_state(epoch, _fit_state(params, opt_state, best, epoch))
         final = self.evaluate(best["params"], "test")
         return best["params"], {"history": history, "best_epoch": best["epoch"], **final}
+
+
+def _fit_state(params, opt_state, best, epoch: int = 0) -> dict:
+    """Full training state pytree for periodic checkpointing (both trainers)."""
+    return {
+        "params": params,
+        "opt_state": opt_state,
+        "best_params": best["params"],
+        "meta": {
+            "epoch": epoch,
+            "best_val_auc": float(best["val_auc"]),
+            "best_epoch": int(best["epoch"]),
+        },
+    }
+
+
+def _unpack_fit_state(state: dict):
+    best = {
+        "val_auc": float(state["meta"]["best_val_auc"]),
+        "params": state["best_params"],
+        "epoch": int(state["meta"]["best_epoch"]),
+    }
+    return state["params"], state["opt_state"], best, int(state["meta"]["epoch"]) + 1
 
 
 class MinibatchTrainer:
@@ -486,15 +527,25 @@ class MinibatchTrainer:
             f"{split}_ap": average_precision(labels, scores),
         }
 
-    def fit(self, params=None, opt_state=None, steps_per_epoch=None, log_fn=None):
+    def fit(self, params=None, opt_state=None, steps_per_epoch=None, log_fn=None,
+            ckpt=None, checkpoint_every: int = 1):
+        """``ckpt`` enables periodic checkpointing + exact resume; the
+        sampler is reseeded per epoch so the sampled trajectory is a pure
+        function of (seed, epoch) — see Trainer.fit."""
         cfg = self.config
         if params is None:
             params, opt_state = self.init()
         n_steps = steps_per_epoch or len(self.sampler)
         best = {"val_auc": -1.0, "params": params, "epoch": -1}
+        start_epoch = 0
+        if ckpt is not None:
+            restored = ckpt.restore_state(_fit_state(params, opt_state, best))
+            if restored is not None:
+                params, opt_state, best, start_epoch = _unpack_fit_state(restored)
         history = []
         draw = self.sampler.sample_compact if self.resident else self.sampler.sample
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
+            self.sampler.reseed(epoch)
             t0 = time.perf_counter()
             losses = []
             for _ in range(n_steps):
@@ -520,5 +571,7 @@ class MinibatchTrainer:
             history.append(rec)
             if log_fn:
                 log_fn(rec)
+            if ckpt is not None and (epoch + 1) % checkpoint_every == 0:
+                ckpt.save_state(epoch, _fit_state(params, opt_state, best, epoch))
         final = self.evaluate(best["params"], "test")
         return best["params"], {"history": history, "best_epoch": best["epoch"], **final}

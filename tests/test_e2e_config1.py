@@ -16,7 +16,7 @@ def small_run():
     ds = make_synthetic_ddi(num_drugs=200, feat_dim=12, avg_degree=8.0, seed=0)
     data = prepare_device_data(ds, max_buckets=2)
     model = BiGNN(BiGNNConfig.config1(feat_dim=12))
-    trainer = Trainer(model, data, TrainConfig(lr=5e-3, epochs=20, batch_size=256, seed=0))
+    trainer = Trainer(model, data, TrainConfig(lr=5e-3, epochs=30, batch_size=256, seed=0))
     params, result = trainer.fit()
     return trainer, params, result
 
