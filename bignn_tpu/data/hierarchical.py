@@ -652,6 +652,12 @@ class HierarchicalSampler:
         """Index-only batch: per-step H2D is nodes + outer subgraph + pairs."""
         nodes, su, sv, w, pairs_local, labels, valid, off = (
             self._subgraph_from_pairs(all_pairs, labels))
+        return self._compact_assemble(
+            nodes, su, sv, w, pairs_local, labels, valid, off)
+
+    def _compact_assemble(
+        self, nodes, su, sv, w, pairs_local, labels, valid, off
+    ) -> CompactBatch:
         D, oe_cap = self.drug_budget, self.outer_edge_cap
 
         def pad(x, cap, fill, dtype=None):
@@ -694,3 +700,48 @@ class HierarchicalSampler:
 
     def sample_compact(self) -> CompactBatch:
         return self.compact_from_pairs(*self._draw_pairs())
+
+    def compact_chunks_all_nodes(self):
+        """Yield (CompactBatch, global drug ids) covering EVERY drug exactly
+        once, in id order, with empty outer subgraph and pair slots.
+
+        These are the inner-encode chunks of the exact (full-propagation)
+        evaluation path (MinibatchTrainer.evaluate(exact=True)): unlike
+        training batches, chunk membership is deterministic — each chunk is
+        the longest id-order prefix that fits the sampler's static caps, so
+        every chunk reuses the one compiled expansion/encode computation.
+        """
+        D = self.drug_budget
+        all_nodes = np.arange(self.num_nodes, dtype=np.int64)
+        empty_i = np.zeros(0, np.int64)
+        empty_f = np.zeros(0, np.float32)
+        pairs0 = np.zeros((self.pair_cap, 2), np.int32)
+        zeros_p = np.zeros(self.pair_cap, np.float32)
+        start = 0
+        while start < self.num_nodes:
+            cand = all_nodes[start : start + D]
+            e_cum = np.cumsum(self._tbl_eptr[cand + 1] - self._tbl_eptr[cand])
+            keep = int(np.searchsorted(e_cum, self.edge_cap, side="right"))
+            off = None
+            if self.block_local:
+                sizes = self._mol_qptr[cand + 1] - self._mol_qptr[cand]
+                off, _ = native.greedy_pack_blocks(sizes.astype(np.int32), 128)
+                ends = off + sizes.astype(np.int32)
+                keep = min(keep, int(np.searchsorted(
+                    ends, self.node_cap, side="right")))
+            else:
+                n_cum = np.cumsum(
+                    self._mol_qptr[cand + 1] - self._mol_qptr[cand])
+                keep = min(keep, int(np.searchsorted(
+                    n_cum, self.node_cap, side="right")))
+            if keep == 0:
+                raise ValueError(
+                    f"caps too small to encode drug {start} on its own")
+            nodes = cand[:keep]
+            if off is not None:
+                off = off[:keep]
+            cb = self._compact_assemble(
+                nodes, empty_i, empty_i, empty_f, pairs0, zeros_p, zeros_p,
+                off)
+            yield cb, nodes
+            start += keep

@@ -221,15 +221,36 @@ class MinibatchTrainer:
         max_drugs: int | None = None,
         resident: bool = True,
         calibrate_caps: int = 8,
+        mesh=None,
     ):
         """``resident=True`` (default) uploads the per-molecule tables to the
         device once and ships only index-sized batches per step (CompactBatch
         + on-device ragged expansion) — at config-#4 scale the host->device
-        feature transfer otherwise dominates the step."""
+        feature transfer otherwise dominates the step.
+
+        ``mesh`` (a jax.sharding.Mesh with a 'dp' axis, all other axes size
+        1) turns on data parallelism (SURVEY.md §2.3 P1 x §2.4 T4): each step
+        samples one batch PER dp shard, shards them over 'dp' with shard_map,
+        and psums the (sum, count) loss pair so the update equals a
+        single-device step on the union batch (tests/test_dp_minibatch.py).
+        Tables and params stay replicated; gradient collectives come from AD.
+        """
         self.model = model
         self.ds = ds
         self.config = config
         self.resident = resident
+        self.mesh = mesh
+        if mesh is not None:
+            import math
+
+            if "dp" not in mesh.axis_names:
+                raise ValueError("minibatch DP mesh needs a 'dp' axis")
+            self.dp = int(mesh.shape["dp"])
+            if math.prod(mesh.shape.values()) != self.dp:
+                raise ValueError(
+                    "minibatch DP mesh must be dp-only (other axes size 1)")
+        else:
+            self.dp = 1
         # superrow-quantized tables put masked padding between molecules
         # (breaks strict dst-sortedness) — only valid when every inner conv
         # rides the block-local plan (GIN/GCN via ops/pallas/block_spmm.py)
@@ -259,9 +280,30 @@ class MinibatchTrainer:
                 # HBM traffic and feeds the convs their compute dtype
                 tables = tables.replace(
                     feat=tables.feat.astype(jnp.bfloat16))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                tables = jax.device_put(
+                    jax.tree.map(np.asarray, tables),
+                    NamedSharding(mesh, P()))
             self.tables = jax.tree.map(jnp.asarray, tables)
-        self._train_step = jax.jit(self._step)
-        self._score_batch = jax.jit(self._score)
+        else:
+            self.tables = None
+        self._full_outer_cached = None
+        self._exact_fns = None
+        if mesh is None:
+            self._train_step = jax.jit(self._step)
+            self._score_batch = jax.jit(self._score)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self._dp_sharding = NamedSharding(mesh, P("dp"))
+            self._train_step = self._make_dp_step()
+            # eval stays logically single-stream: replicated in/out shardings
+            # keep the mesh-resident tables usable without a reshard
+            self._score_batch = jax.jit(
+                self._score, in_shardings=rep, out_shardings=rep)
 
     # -- device-side ragged expansion (resident path) --------------------
     @staticmethod
@@ -494,13 +536,82 @@ class MinibatchTrainer:
     def _score(self, params, hb, tables=None):
         return self._forward(params, hb, tables)
 
+    # -- data-parallel step (mesh is not None) ----------------------------
+    def _make_dp_step(self):
+        """shard_map dp step: one sampled batch per shard, global masked-mean
+        loss via psum'd (sum, count); grads come from AD of the shard_map.
+        check_vma=False for the same reason as parallel/step.py — the Pallas
+        kernels inside the forward lack vma annotations; correctness is
+        covered by the single-vs-multi-device equality test."""
+        from jax.sharding import PartitionSpec as P
+
+        from bignn_tpu.models.loss import bce_with_logits_elementwise
+
+        def shard_loss(params, hb, tables):
+            hb = jax.tree.map(lambda x: x[0], hb)  # strip the shard axis
+            logits = self._forward(params, hb, tables)
+            per = bce_with_logits_elementwise(logits, hb.labels)
+            num = jax.lax.psum(jnp.sum(per * hb.mask), "dp")
+            den = jax.lax.psum(jnp.sum(hb.mask), "dp")
+            return num / jnp.maximum(den, 1.0)
+
+        sharded_loss = jax.shard_map(
+            shard_loss,
+            mesh=self.mesh,
+            check_vma=False,
+            in_specs=(P(), P("dp"), P()),
+            out_specs=P(),
+        )
+
+        def step(params, opt_state, hbs, tables):
+            loss, grads = jax.value_and_grad(sharded_loss)(params, hbs, tables)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(step)
+
+    def _draw_stacked(self, draw=None):
+        """Sample self.dp batches and stack array leaves on a leading dp axis,
+        placed with a P('dp') sharding (one batch per shard)."""
+        draw = draw or (
+            self.sampler.sample_compact if self.resident else self.sampler.sample
+        )
+        batches = [draw() for _ in range(self.dp)]
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+        return jax.device_put(stacked, self._dp_sharding)
+
+    def train_step(self, params, opt_state):
+        """One optimizer step on freshly sampled batch(es); the dp-mesh path
+        samples one batch per shard. Used by fit(), the driver dryrun and
+        the equality tests."""
+        if self.mesh is not None:
+            hbs = self._draw_stacked()
+            return self._train_step(params, opt_state, hbs, self.tables)
+        draw = (
+            self.sampler.sample_compact if self.resident else self.sampler.sample
+        )
+        hb = draw()
+        return self._train_step(
+            params, opt_state, jax.tree.map(jnp.asarray, hb), self.tables
+        )
+
     # -- host loop -------------------------------------------------------
     def init(self, key=None):
         key = key if key is not None else jax.random.key(self.config.seed)
         params = self.model.init(key)
         return params, self.optimizer.init(params)
 
-    def evaluate(self, params, split: str = "val", neg_seed: int = 1234) -> dict:
+    def evaluate(self, params, split: str = "val", neg_seed: int = 1234,
+                 exact: bool = False) -> dict:
+        """Score held-out positives + sampled negatives.
+
+        Default: fanout-sampled neighborhoods (the training estimator —
+        metrics depend on sampler randomness). ``exact=True`` runs FULL
+        propagation — every molecule encoded, one outer pass over the whole
+        train graph — so reported metrics are estimator-free; matches the
+        full-graph Trainer allclose (tests/test_exact_eval.py). Negatives are
+        drawn identically in both modes, so the two are comparable."""
         pos = self.ds.split_edges(split).astype(np.int64)
         rng = np.random.default_rng(neg_seed)
         corrupt_right = rng.random(len(pos)) < 0.5
@@ -511,21 +622,89 @@ class MinibatchTrainer:
         )
         pairs = np.concatenate([pos, neg])
         labels = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
-        cap = self.sampler.pair_cap
-        make = (self.sampler.compact_from_pairs if self.resident
-                else self.sampler.batch_from_pairs)
-        scores = np.zeros(len(pairs), np.float64)
-        for start in range(0, len(pairs), cap):
-            chunk = pairs[start : start + cap]
-            lab = labels[start : start + cap].astype(np.float32)
-            hb = make(chunk, lab)
-            tbl = self.tables if self.resident else None
-            s = np.asarray(self._score_batch(params, jax.tree.map(jnp.asarray, hb), tbl))
-            scores[start : start + len(chunk)] = s[: len(chunk)]
+        if exact:
+            scores = np.asarray(self.score_exact(params, pairs), np.float64)
+        else:
+            cap = self.sampler.pair_cap
+            make = (self.sampler.compact_from_pairs if self.resident
+                    else self.sampler.batch_from_pairs)
+            scores = np.zeros(len(pairs), np.float64)
+            for start in range(0, len(pairs), cap):
+                chunk = pairs[start : start + cap]
+                lab = labels[start : start + cap].astype(np.float32)
+                hb = make(chunk, lab)
+                s = np.asarray(self._score_batch(
+                    params, jax.tree.map(jnp.asarray, hb), self.tables))
+                scores[start : start + len(chunk)] = s[: len(chunk)]
         return {
             f"{split}_auc": roc_auc(labels, scores),
             f"{split}_ap": average_precision(labels, scores),
         }
+
+    # -- exact (full-propagation) evaluation ------------------------------
+    def _full_outer(self):
+        """Full train-edge outer graph, built identically to the full-graph
+        path (schema.prepare_device_data) so exact eval matches Trainer."""
+        if self._full_outer_cached is None:
+            from bignn_tpu.sparse.formats import build_outer_graph
+
+            tr = self.ds.split_edges("train")
+            self._full_outer_cached = jax.tree.map(
+                jnp.asarray,
+                build_outer_graph(tr[:, 0], tr[:, 1], self.ds.num_drugs),
+            )
+        return self._full_outer_cached
+
+    def _exact(self):
+        if self._exact_fns is None:
+            kw = {}
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(self.mesh, P())
+                kw = dict(in_shardings=rep, out_shardings=rep)
+
+            def encode(params, cb, tables):
+                pb = jax.lax.optimization_barrier(
+                    self._expand_compact(cb, tables))
+                return self.model.encode_inner(params, pb)
+
+            def prop(params, emb, outer):
+                return self.model.propagate_outer(params, emb, outer)
+
+            def score(params, emb, pairs):
+                return self.model.score_pairs(params, emb, pairs)
+
+            self._exact_fns = (
+                jax.jit(encode, **kw), jax.jit(prop, **kw), jax.jit(score, **kw)
+            )
+        return self._exact_fns
+
+    def embed_all_exact(self, params) -> jax.Array:
+        """[num_drugs, d] drug embeddings from FULL inner encoding (every
+        molecule, chunked through the resident expansion) + one outer pass
+        over the full train graph — no sampling anywhere."""
+        encode, prop, _ = self._exact()
+        tables = self.tables
+        if tables is None:  # non-resident trainer: build tables on demand
+            tables = jax.tree.map(jnp.asarray, self.sampler.tables())
+            self.tables = tables
+        parts = []
+        for cb, ids in self.sampler.compact_chunks_all_nodes():
+            e = encode(params, jax.tree.map(jnp.asarray, cb), tables)
+            parts.append(np.asarray(e[: len(ids)], np.float32))
+        emb = jnp.asarray(np.concatenate(parts))
+        return prop(params, emb, self._full_outer())
+
+    def score_exact(self, params, pairs: np.ndarray, chunk: int = 65536):
+        """Exact logits for [P, 2] global drug-id pairs via full propagation."""
+        _, _, score = self._exact()
+        emb = self.embed_all_exact(params)
+        out = np.zeros(len(pairs), np.float32)
+        for s in range(0, len(pairs), chunk):
+            p = jnp.asarray(pairs[s : s + chunk], jnp.int32)
+            out[s : s + len(p)] = np.asarray(score(params, emb, p))
+        return out
 
     def fit(self, params=None, opt_state=None, steps_per_epoch=None, log_fn=None,
             ckpt=None, checkpoint_every: int = 1):
@@ -535,7 +714,7 @@ class MinibatchTrainer:
         cfg = self.config
         if params is None:
             params, opt_state = self.init()
-        n_steps = steps_per_epoch or len(self.sampler)
+        n_steps = steps_per_epoch or -(-len(self.sampler) // self.dp)
         best = {"val_auc": -1.0, "params": params, "epoch": -1}
         start_epoch = 0
         if ckpt is not None:
@@ -543,17 +722,12 @@ class MinibatchTrainer:
             if restored is not None:
                 params, opt_state, best, start_epoch = _unpack_fit_state(restored)
         history = []
-        draw = self.sampler.sample_compact if self.resident else self.sampler.sample
         for epoch in range(start_epoch, cfg.epochs):
             self.sampler.reseed(epoch)
             t0 = time.perf_counter()
             losses = []
             for _ in range(n_steps):
-                hb = draw()
-                params, opt_state, loss = self._train_step(
-                    params, opt_state, jax.tree.map(jnp.asarray, hb),
-                    self.tables if self.resident else None,
-                )
+                params, opt_state, loss = self.train_step(params, opt_state)
                 losses.append(loss)
             rec = {
                 "epoch": epoch,
