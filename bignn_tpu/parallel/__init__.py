@@ -11,7 +11,12 @@ TPU-native scope mandated by BASELINE.json:5,11:
   * halo.py      — boundary drug-embedding exchange over ICI (P2 flagship).
 """
 
-from bignn_tpu.parallel.mesh import make_mesh
+from bignn_tpu.parallel.mesh import (
+    global_put,
+    init_distributed,
+    make_hybrid_mesh,
+    make_mesh,
+)
 from bignn_tpu.parallel.dp import shard_pairs, dp_train_step_fn
 from bignn_tpu.parallel.partition import (
     OuterPartitionPlan,
@@ -28,6 +33,9 @@ from bignn_tpu.parallel.step import make_p2_train_step, device_put_plan
 
 __all__ = [
     "make_mesh",
+    "make_hybrid_mesh",
+    "init_distributed",
+    "global_put",
     "shard_pairs",
     "dp_train_step_fn",
     "OuterPartitionPlan",

@@ -161,9 +161,14 @@ def make_p2_score_fn(
 
 
 def device_put_plan(mesh: Mesh, plan: OuterPartitionPlan, inner_batch):
-    """Place the stacked plan arrays on the 'graph' axis, replicated on dp."""
-    gspec = NamedSharding(mesh, P("graph"))
-    put = lambda x: jax.device_put(jnp.asarray(x), gspec)
+    """Place the stacked plan arrays on the 'graph' axis, replicated on dp.
+
+    Uses global_put (make_array_from_callback) so the same code path works
+    on a multi-host mesh: every process holds the full plan (deterministic
+    from the shared seed) and contributes only its addressable shards."""
+    from bignn_tpu.parallel.mesh import global_put
+
+    put = lambda x: global_put(mesh, P("graph"), x)
     inner = jax.tree.map(put, inner_batch)
     return (
         inner,

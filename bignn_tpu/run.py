@@ -31,11 +31,24 @@ def main(argv=None) -> dict:
     p.add_argument("--profile", default=None, help="jax profiler trace dir")
     p.add_argument("--backend", default=None,
                    choices=["auto", "xla", "pallas", "pallas_interpret"])
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator host:port "
+                        "(or env JAX_COORDINATOR_ADDRESS)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count "
+                        "(or env JAX_NUM_PROCESSES)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's index "
+                        "(or env JAX_PROCESS_ID)")
     args = p.parse_args(argv)
 
     import jax
 
     import bignn_tpu.ops as ops
+    from bignn_tpu.parallel import init_distributed
+
+    # must run before anything touches jax.devices(); no-op single-process
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
     from bignn_tpu.config import get_config
     from bignn_tpu.data import load_dataset, prepare_device_data
     from bignn_tpu.models import BiGNN
@@ -104,11 +117,15 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False):
     import numpy as np
     import optax
 
+    from jax.sharding import PartitionSpec as P
+
     from bignn_tpu.data.sampler import EdgeMinibatchSampler
     from bignn_tpu.parallel import (
         build_outer_partition,
         build_sharded_inner,
         device_put_plan,
+        global_put,
+        make_hybrid_mesh,
         make_mesh,
         make_p2_train_step,
     )
@@ -116,10 +133,22 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False):
     from bignn_tpu.train.metrics import average_precision_jnp, roc_auc_jnp
 
     n_dev = len(jax.devices())
-    graph = min(cfg.graph_shards, n_dev)
-    dp = n_dev // graph
-    mesh = make_mesh(dp=dp, graph=graph, devices=jax.devices()[: dp * graph])
-    logger.log({"event": "mesh", "dp": dp, "graph": graph})
+    multihost = jax.process_count() > 1
+    if multihost:
+        # hybrid ICI x DCN mesh: per-host graph-shard groups, halo a2a rides
+        # ICI within a host and DCN between (parallel/mesh.py, SURVEY.md §5)
+        graph = min(cfg.graph_shards, n_dev)
+        mesh = make_hybrid_mesh(graph=graph)
+        dp = int(mesh.shape["dp"])
+    else:
+        graph = min(cfg.graph_shards, n_dev)
+        dp = n_dev // graph
+        mesh = make_mesh(dp=dp, graph=graph, devices=jax.devices()[: dp * graph])
+    logger.log({"event": "mesh", "dp": dp, "graph": graph,
+                "processes": jax.process_count()})
+    # every per-step host array must be a GLOBAL array on a multi-host mesh;
+    # identical on all processes (shared seed), so replicated placement
+    rep = (lambda x: global_put(mesh, P(), x)) if multihost else jnp.asarray
 
     train_edges = ds.split_edges("train")
     plan = build_outer_partition(
@@ -130,6 +159,9 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False):
     optimizer = optax.adam(cfg.train.lr)
     params = model.init(jax.random.key(cfg.train.seed))
     opt_state = optimizer.init(params)
+    if multihost:
+        params = jax.tree.map(rep, params)
+        opt_state = jax.tree.map(rep, opt_state)
     step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs,
                               cfg.train.neg_ratio, overlap=overlap)
     inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
@@ -137,6 +169,11 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False):
     sampler = EdgeMinibatchSampler(train_edges.astype(np.int32),
                                    cfg.train.batch_size, cfg.train.seed)
     key = jax.random.key(cfg.train.seed + 1)
+    if multihost:
+        # globalize the (replicated, identical-per-process) PRNG key once;
+        # splits of a global key stay global
+        key = jax.random.wrap_key_data(
+            rep(np.asarray(jax.random.key_data(key))))
     score_fn = make_p2_score_fn(model, mesh, overlap=overlap)
     dp_pad = dp  # eval pair count must divide the dp axis
 
@@ -155,12 +192,13 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False):
         neg = sample_negative_pairs(jax.random.key(1234), pos, ds.num_drugs, 1)
         n_pos, n_neg = pos.shape[0], neg.shape[0]
         pad = (-(n_pos + n_neg)) % dp_pad
-        pairs_p = jnp.concatenate(
-            [pos, neg, jnp.zeros((pad, 2), jnp.int32)]).astype(jnp.int32)
-        labels = jnp.concatenate(
-            [jnp.ones(n_pos), jnp.zeros(n_neg + pad)])
-        mask = jnp.concatenate(
-            [jnp.ones(n_pos + n_neg), jnp.zeros(pad)])
+        pairs_p = rep(np.concatenate(
+            [np.asarray(pos), np.asarray(neg),
+             np.zeros((pad, 2), np.int32)]).astype(np.int32))
+        labels = rep(np.concatenate(
+            [np.ones(n_pos, np.float32), np.zeros(n_neg + pad, np.float32)]))
+        mask = rep(np.concatenate(
+            [np.ones(n_pos + n_neg, np.float32), np.zeros(pad, np.float32)]))
         scores = score_fn(params, pairs_p, inner_d, esrc, edst, ew, sidx)
         auc, ap = _device_metrics(scores, labels, mask)
         return {f"{split}_auc": float(auc), f"{split}_ap": float(ap)}
@@ -176,7 +214,7 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False):
             for pairs, mask in sampler.epoch():
                 key, sub = jax.random.split(key)
                 params, opt_state, loss = step(
-                    params, opt_state, sub, jnp.asarray(pairs), jnp.asarray(mask),
+                    params, opt_state, sub, rep(pairs), rep(mask),
                     inner_d, esrc, edst, ew, sidx,
                 )
                 losses.append(loss)
