@@ -24,6 +24,7 @@ class ExperimentConfig:
     mode: str = "full"  # "full" | "minibatch" | "p2"
     fanouts: tuple[int, ...] = (10,)
     max_drugs: int | None = None  # minibatch drug budget cap
+    dispatch_chunk: int = 1  # K scanned steps per dispatch (minibatch mode)
     max_buckets: int = 4
     # distribution (used by run.py when the mesh has >1 device)
     dp: int | None = None
@@ -53,6 +54,17 @@ def get_config(name: str, **overrides) -> ExperimentConfig:
             model=BiGNNConfig.full_bignn(feat_dim=64, dim=128, heads=4),
             train=TrainConfig(lr=1e-3, epochs=40, batch_size=2048),
         ),
+        # 2r: config #2's model on the in-repo REAL drug sample (real SMILES
+        # -> molecular graphs, real documented interactions) — the
+        # real-molecular-data end-to-end path while the reference caches are
+        # unreachable (data/real_sample.py)
+        "config2-real": ExperimentConfig(
+            name="config2-real",
+            dataset="ddi-sample",
+            dataset_kwargs=dict(),
+            model=BiGNNConfig.full_bignn(feat_dim=21, dim=64, heads=4),
+            train=TrainConfig(lr=2e-3, epochs=60, batch_size=64),
+        ),
         # 3: BioSNAP, mini-batched hierarchical sampling, bucketed molecules
         "config3": ExperimentConfig(
             name="config3",
@@ -73,6 +85,7 @@ def get_config(name: str, **overrides) -> ExperimentConfig:
             mode="minibatch",
             fanouts=(10, 5),
             max_drugs=16384,
+            dispatch_chunk=8,
         ),
         # 5: edge-partitioned outer graph across a pod slice (halo a2a)
         "config5": ExperimentConfig(
@@ -86,6 +99,7 @@ def get_config(name: str, **overrides) -> ExperimentConfig:
         ),
     }
     registry["small"] = registry["config1"]
+    registry["real"] = registry["config2-real"]
     registry["drugbank"] = registry["config2"]
     registry["biosnap"] = registry["config3"]
     registry["large"] = registry["config4"]

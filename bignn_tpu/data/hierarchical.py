@@ -20,6 +20,7 @@ by the sampler (never at trace time).
 from __future__ import annotations
 
 import dataclasses
+import threading
 
 import numpy as np
 from flax import struct
@@ -298,6 +299,7 @@ class HierarchicalSampler:
         # can never degrade accuracy invisibly ("no silent caps"). Counters
         # are reset after cap calibration and surfaced per-epoch by
         # MinibatchTrainer via truncation_stats().
+        self._trunc_lock = threading.Lock()
         self.truncation = {
             "trunc_batches": 0,
             "trunc_nodes_dropped": 0,
@@ -384,11 +386,18 @@ class HierarchicalSampler:
         eval-time draws (which advance the rng) can't perturb training."""
         self._rng = np.random.default_rng((self.seed, epoch_idx))
 
+    def _count(self, key: str, val: int) -> None:
+        """Thread-safe truncation-counter increment (batches may be sampled
+        concurrently on prefetch workers)."""
+        with self._trunc_lock:
+            self.truncation[key] += val
+
     def truncation_stats(self, reset: bool = False) -> dict:
         """Per-epoch truncation counters (copy); ``reset`` zeroes them."""
-        out = dict(self.truncation)
-        if reset:
-            self.reset_truncation_stats()
+        with self._trunc_lock:
+            out = dict(self.truncation)
+            if reset:
+                self.truncation = {k: 0 for k in self.truncation}
         return out
 
     def reset_truncation_stats(self) -> None:
@@ -398,7 +407,7 @@ class HierarchicalSampler:
         return -(-len(self.train_pairs) // self.batch_size)
 
     # ------------------------------------------------------------------
-    def _sample_neighbors(self, seeds: np.ndarray):
+    def _sample_neighbors(self, seeds: np.ndarray, rng=None):
         """Per-hop fanout sampling; returns (nodes, edges (global u->v)).
 
         Fully vectorized (no per-node Python loop — at config-#4 scale the
@@ -407,7 +416,7 @@ class HierarchicalSampler:
         the degree exceeds the fanout, and takes the whole neighborhood
         otherwise (deduplicated via the canonical-pair dedup downstream).
         """
-        rng = self._rng
+        rng = rng if rng is not None else self._rng
         nodes = np.unique(seeds)
         seen = np.zeros(self.num_nodes, bool)
         seen[nodes] = True
@@ -480,7 +489,22 @@ class HierarchicalSampler:
     def sample(self) -> HierarchicalBatch:
         return self.batch_from_pairs(*self._draw_pairs())
 
-    def _subgraph_from_pairs(self, all_pairs: np.ndarray, labels: np.ndarray):
+    def sample_at(self, epoch: int, idx: int) -> HierarchicalBatch:
+        """Batch ``idx`` of epoch ``epoch`` — a pure function of
+        (seed, epoch, idx), independent of call order, so batches can be
+        drawn CONCURRENTLY on worker threads (data/prefetch.py) with a
+        deterministic, resumable trajectory."""
+        rng = np.random.default_rng((self.seed, epoch, idx))
+        return self.batch_from_pairs(*self._draw_pairs(rng), rng=rng)
+
+    def sample_compact_at(self, epoch: int, idx: int) -> CompactBatch:
+        """Indexed (order-independent) variant of sample_compact; see
+        sample_at."""
+        rng = np.random.default_rng((self.seed, epoch, idx))
+        return self.compact_from_pairs(*self._draw_pairs(rng), rng=rng)
+
+    def _subgraph_from_pairs(self, all_pairs: np.ndarray, labels: np.ndarray,
+                             rng=None):
         """Shared front half: pad pairs, sample the neighborhood, build the
         (deduped, dst-sorted) outer subgraph and localized pairs."""
         p = all_pairs.shape[0]
@@ -495,9 +519,9 @@ class HierarchicalSampler:
             labels = np.concatenate([labels, np.zeros(self.pair_cap - p, np.float32)])
 
         seeds = np.unique(all_pairs.reshape(-1))
-        nodes, es, ed = self._sample_neighbors(seeds)
+        nodes, es, ed = self._sample_neighbors(seeds, rng)
         n_sampled = len(nodes)
-        self.truncation["batches_sampled"] += 1
+        self._count("batches_sampled", 1)
         if len(nodes) > self.drug_budget:  # cap overflow: keep seeds first
             nodes = nodes[: self.drug_budget]
         # seed-preserving prefix truncation against the statistical caps:
@@ -527,8 +551,8 @@ class HierarchicalSampler:
             if off is not None:
                 off = off[:keep]
         if len(nodes) < n_sampled:
-            self.truncation["trunc_nodes_dropped"] += n_sampled - len(nodes)
-            self.truncation["trunc_batches"] += 1
+            self._count("trunc_nodes_dropped", n_sampled - len(nodes))
+            self._count("trunc_batches", 1)
         n_loc = len(nodes)
         local_arr = np.full(self.num_nodes, -1, np.int64)
         local_arr[nodes] = np.arange(n_loc)
@@ -552,8 +576,8 @@ class HierarchicalSampler:
         su, sv, w = su[order], sv[order], w[order].astype(np.float32)
         oe_cap = self.outer_edge_cap
         if len(su) > oe_cap:
-            self.truncation["trunc_outer_edges_dropped"] += len(su) - oe_cap
-            self.truncation["trunc_batches"] += 1
+            self._count("trunc_outer_edges_dropped", len(su) - oe_cap)
+            self._count("trunc_batches", 1)
             su, sv, w = su[:oe_cap], sv[:oe_cap], w[:oe_cap]
 
         pa = local_arr[all_pairs[:, 0]]
@@ -565,13 +589,13 @@ class HierarchicalSampler:
         return nodes, su, sv, w, pairs_local, labels, valid, off
 
     def batch_from_pairs(
-        self, all_pairs: np.ndarray, labels: np.ndarray
+        self, all_pairs: np.ndarray, labels: np.ndarray, rng=None
     ) -> HierarchicalBatch:
         """Fixed-shape batch with host-gathered molecule arrays — used where
         the data is small or device tables are not set up; see
         compact_from_pairs for the device-resident path."""
         nodes, su, sv, w, pairs_local, labels, valid, _ = (
-            self._subgraph_from_pairs(all_pairs, labels))
+            self._subgraph_from_pairs(all_pairs, labels, rng))
         n_loc = len(nodes)
         oe_cap = self.outer_edge_cap
 
@@ -647,11 +671,11 @@ class HierarchicalSampler:
         )
 
     def compact_from_pairs(
-        self, all_pairs: np.ndarray, labels: np.ndarray
+        self, all_pairs: np.ndarray, labels: np.ndarray, rng=None
     ) -> CompactBatch:
         """Index-only batch: per-step H2D is nodes + outer subgraph + pairs."""
         nodes, su, sv, w, pairs_local, labels, valid, off = (
-            self._subgraph_from_pairs(all_pairs, labels))
+            self._subgraph_from_pairs(all_pairs, labels, rng))
         return self._compact_assemble(
             nodes, su, sv, w, pairs_local, labels, valid, off)
 

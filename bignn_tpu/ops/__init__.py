@@ -27,7 +27,7 @@ from bignn_tpu.ops.segment import (
     segment_max,
     segment_softmax,
 )
-from bignn_tpu.ops.spmm import spmm_sorted_coo, block_diag_spmm
+from bignn_tpu.ops.spmm import spmm_sorted_coo, block_diag_spmm, block_adjacency
 from bignn_tpu.ops.multihead import spmm_multihead
 from bignn_tpu.ops.sddmm import sddmm
 from bignn_tpu.ops.gather import gather_rows
@@ -42,6 +42,7 @@ __all__ = [
     "segment_softmax",
     "spmm_sorted_coo",
     "block_diag_spmm",
+    "block_adjacency",
     "spmm_multihead",
     "sddmm",
     "gather_rows",

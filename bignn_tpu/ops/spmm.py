@@ -67,6 +67,33 @@ def spmm_sorted_coo(
     return segment_sum(msgs, dst, num_out, backend="xla")
 
 
+def block_adjacency(
+    src: jax.Array,
+    dst: jax.Array,
+    weight: jax.Array | None,
+    estarts: jax.Array,
+    num_nodes: int,
+    out_dtype=jnp.float32,
+    *,
+    backend: str | None = None,
+) -> jax.Array:
+    """[N/128, 128, 128] block-diagonal adjacency (weighted sum, or edge
+    multiplicity when ``weight`` is None) from a block-local sorted edge
+    list — the one-pass build that turns every later aggregation into a
+    batched MXU matmul (ops/pallas/block_adj.py has the measurements)."""
+    b = get_backend(backend)
+    if b in ("pallas", "pallas_interpret"):
+        from bignn_tpu.ops.pallas.block_adj import build_block_adj
+
+        return build_block_adj(
+            src, dst, weight, estarts, num_nodes, out_dtype,
+            interpret=(b == "pallas_interpret"),
+        )
+    from bignn_tpu.ops.pallas.block_adj import build_block_adj_xla
+
+    return build_block_adj_xla(src, dst, weight, num_nodes).astype(out_dtype)
+
+
 def block_diag_spmm(adj_blocks: jax.Array, x: jax.Array) -> jax.Array:
     """Dense block-diagonal SpMM: ``y = blockdiag(adj_blocks) @ x``.
 

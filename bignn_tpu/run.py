@@ -89,7 +89,8 @@ def main(argv=None) -> dict:
     with profile_trace(args.profile):
         if cfg.mode == "minibatch":
             trainer = MinibatchTrainer(model, ds, cfg.train, fanouts=cfg.fanouts,
-                                       max_drugs=cfg.max_drugs)
+                                       max_drugs=cfg.max_drugs,
+                                       dispatch_chunk=cfg.dispatch_chunk)
             params, result = trainer.fit(**fit_kw)
         elif cfg.mode == "p2":
             result = _run_p2(model, ds, cfg, logger, overlap=args.overlap)

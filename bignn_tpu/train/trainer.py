@@ -222,6 +222,8 @@ class MinibatchTrainer:
         resident: bool = True,
         calibrate_caps: int = 8,
         mesh=None,
+        prefetch_workers: int = 2,
+        dispatch_chunk: int = 1,
     ):
         """``resident=True`` (default) uploads the per-molecule tables to the
         device once and ships only index-sized batches per step (CompactBatch
@@ -239,6 +241,7 @@ class MinibatchTrainer:
         self.ds = ds
         self.config = config
         self.resident = resident
+        self.prefetch_workers = prefetch_workers
         self.mesh = mesh
         if mesh is not None:
             import math
@@ -252,12 +255,20 @@ class MinibatchTrainer:
         else:
             self.dp = 1
         # superrow-quantized tables put masked padding between molecules
-        # (breaks strict dst-sortedness) — only valid when every inner conv
-        # rides the block-local plan (GIN/GCN via ops/pallas/block_spmm.py)
+        # (breaks strict dst-sortedness) — valid because every inner conv
+        # kind rides a block-local path: GIN/GCN via the dense block-diagonal
+        # adjacency or ops/pallas/block_spmm.py, GAT/DotAttn via per-block
+        # dense masked attention (models/convs.py block_dense)
         block_capable = all(
-            spec.split(":")[0] in ("gin", "gcn")
+            spec.split(":")[0] in ("gin", "gcn", "gat", "dotattn")
             for spec in model.config.inner_layers
         )
+        # dense-inner fast path: build the block-diagonal adjacency ONCE per
+        # step on device (ops/pallas/block_adj.py), then every inner
+        # aggregation pass (fwd + bwd x layers) is a batched 128x128 MXU
+        # matmul instead of a streaming one-hot pass — measured ~11 ms off
+        # the 32 ms config-#4 step
+        self.dense_inner = block_capable
         self.sampler = HierarchicalSampler(
             ds,
             batch_size=config.batch_size,
@@ -291,6 +302,8 @@ class MinibatchTrainer:
             self.tables = None
         self._full_outer_cached = None
         self._exact_fns = None
+        self._chunk_step = None
+        self.dispatch_chunk = int(dispatch_chunk)
         if mesh is None:
             self._train_step = jax.jit(self._step)
             self._score_batch = jax.jit(self._score)
@@ -434,23 +447,32 @@ class MinibatchTrainer:
             evalid, jax.lax.bitcast_convert_type(col(2), jnp.float32),
             0.0,
         )
-        # source-sort permutation, expanded from the per-molecule tables:
-        # block b of the batch edge list holds molecule b's edges, so
-        # (batch edge offset) + (local src-sorted position) enumerates the
-        # real batch edges in GLOBAL src order (offsets increase
-        # monotonically); padding positions map to themselves with segment
-        # id NC (dropped), so sperm stays a permutation of [0, EC).
-        sperm = jnp.where(evalid, ecum0e + col(3), epos)
-        ssorted = jnp.where(evalid, col(4) + node_off, NC)
+        dense_inner = block_local and getattr(self, "dense_inner", False)
+        if not dense_inner and getattr(s, "quantized", False) and (
+            {sp.split(":")[0] for sp in self.model.config.inner_layers}
+            & {"gat", "dotattn"}
+        ):
+            raise ValueError(
+                "GAT/DotAttn inner convs on quantized tables require the "
+                "dense-inner path (quantized layouts break the strict "
+                "dst-sortedness the sparse attention ops need)")
+        if dense_inner:
+            # the dense-inner path needs no src-sort permutation and no
+            # transposed edge stream (AD transposes the block-diagonal
+            # matmul for free) — skipping them keeps ~33 MB/step of dead
+            # fields out of the expansion barrier's materialization
+            sperm = ssorted = None
+        else:
+            # source-sort permutation, expanded from the per-molecule
+            # tables: block b of the batch edge list holds molecule b's
+            # edges, so (batch edge offset) + (local src-sorted position)
+            # enumerates the real batch edges in GLOBAL src order (offsets
+            # increase monotonically); padding positions map to themselves
+            # with segment id NC (dropped), so sperm stays a permutation of
+            # [0, EC).
+            sperm = jnp.where(evalid, ecum0e + col(3), epos)
+            ssorted = jnp.where(evalid, col(4) + node_off, NC)
         if block_local:
-            # transposed (src-sorted) edge list for the block-local
-            # backward, straight from packed columns 5-6 (the tables store
-            # dst/w in local src-sorted order, so no device permutation).
-            tsrc = jnp.where(evalid, col(5) + node_off, 0)
-            tw = jnp.where(
-                evalid,
-                jax.lax.bitcast_convert_type(col(6), jnp.float32), 0.0,
-            )
             # block edge ranges: block b's molecules start at host-computed
             # slot block_slot0[b], so estarts[b] = ecum0[block_slot0[b]] —
             # no searchsorted over the [EC] dst list. The src-sorted list
@@ -459,13 +481,41 @@ class MinibatchTrainer:
             estarts = jnp.take(
                 ecum0, cb.block_slot0.astype(jnp.int32), mode="clip"
             ).astype(jnp.int32)
-            block = dict(
-                block_estarts=estarts,
-                edge_tsrc=tsrc,
-                edge_tdst=ssorted,
-                edge_tweight=tw,
-                block_tstarts=estarts,
-            )
+            if dense_inner:
+                from bignn_tpu.ops import block_adjacency
+
+                kinds = {s.split(":")[0]
+                         for s in self.model.config.inner_layers}
+                dt = self.model.compute_dtype
+                cnt = adj = None
+                if kinds & {"gin", "gat", "dotattn"}:
+                    cnt = jax.lax.stop_gradient(block_adjacency(
+                        edge_src, edge_dst, None, estarts, NC, dt))
+                if "gcn" in kinds:
+                    adj = jax.lax.stop_gradient(block_adjacency(
+                        edge_src, edge_dst, edge_w, estarts, NC, dt))
+                block = dict(
+                    block_estarts=estarts,
+                    block_adj=adj if adj is not None else cnt,
+                    block_cnt=cnt if cnt is not None else adj,
+                )
+            else:
+                # transposed (src-sorted) edge list for the block-local
+                # backward, straight from packed columns 5-6 (the tables
+                # store dst/w in local src-sorted order, so no device
+                # permutation).
+                tsrc = jnp.where(evalid, col(5) + node_off, 0)
+                tw = jnp.where(
+                    evalid,
+                    jax.lax.bitcast_convert_type(col(6), jnp.float32), 0.0,
+                )
+                block = dict(
+                    block_estarts=estarts,
+                    edge_tsrc=tsrc,
+                    edge_tdst=ssorted,
+                    edge_tweight=tw,
+                    block_tstarts=estarts,
+                )
         else:
             block = {}
         return PaddedGraphBatch(
@@ -562,6 +612,7 @@ class MinibatchTrainer:
             in_specs=(P(), P("dp"), P()),
             out_specs=P(),
         )
+        self._dp_sharded_loss = sharded_loss  # reused by train_chunk's scan
 
         def step(params, opt_state, hbs, tables):
             loss, grads = jax.value_and_grad(sharded_loss)(params, hbs, tables)
@@ -571,30 +622,98 @@ class MinibatchTrainer:
 
         return jax.jit(step)
 
-    def _draw_stacked(self, draw=None):
-        """Sample self.dp batches and stack array leaves on a leading dp axis,
-        placed with a P('dp') sharding (one batch per shard)."""
-        draw = draw or (
-            self.sampler.sample_compact if self.resident else self.sampler.sample
-        )
-        batches = [draw() for _ in range(self.dp)]
-        stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
-        return jax.device_put(stacked, self._dp_sharding)
+    def _draw_host(self, at: tuple[int, int] | None = None):
+        """Sample one step's NumPy batch: a single batch, or (dp mode) one
+        batch per shard stacked on a leading dp axis. Pure host work — safe
+        to run on prefetch threads (data/prefetch.py).
 
-    def train_step(self, params, opt_state):
-        """One optimizer step on freshly sampled batch(es); the dp-mesh path
-        samples one batch per shard. Used by fit(), the driver dryrun and
-        the equality tests."""
+        ``at=(epoch, step)`` uses the indexed, order-independent draws
+        (sampler.sample_compact_at) so fit() can sample CONCURRENTLY with a
+        deterministic trajectory; None keeps the sequential-RNG draw."""
+        s = self.sampler
+        if at is None:
+            draw = s.sample_compact if self.resident else s.sample
+            batches = [draw() for _ in range(self.dp)]
+        else:
+            epoch, step = at
+            draw = s.sample_compact_at if self.resident else s.sample_at
+            batches = [
+                draw(epoch, step * self.dp + i) for i in range(self.dp)
+            ]
+        if self.mesh is None:
+            return batches[0]
+        return jax.tree.map(lambda *xs: np.stack(xs), *batches)
+
+    def _to_device(self, hb):
         if self.mesh is not None:
-            hbs = self._draw_stacked()
-            return self._train_step(params, opt_state, hbs, self.tables)
-        draw = (
-            self.sampler.sample_compact if self.resident else self.sampler.sample
-        )
-        hb = draw()
-        return self._train_step(
-            params, opt_state, jax.tree.map(jnp.asarray, hb), self.tables
-        )
+            return jax.device_put(hb, self._dp_sharding)
+        return jax.tree.map(jnp.asarray, hb)
+
+    def _draw_stacked(self, draw=None):
+        """Sample self.dp batches, stacked + placed with a P('dp') sharding."""
+        assert self.mesh is not None
+        return self._to_device(self._draw_host())
+
+    def train_step(self, params, opt_state, hb=None):
+        """One optimizer step; samples a fresh batch (or one per dp shard)
+        unless ``hb`` is given. Used by fit(), the driver dryrun and tests."""
+        if hb is None:
+            hb = self._to_device(self._draw_host())
+        return self._train_step(params, opt_state, hb, self.tables)
+
+    def train_chunk(self, params, opt_state, hbs):
+        """K sequential optimizer steps in ONE dispatch: ``hbs`` carries a
+        leading chunk axis; a jitted lax.scan applies the K updates in
+        order, so the trajectory is identical to K train_step calls
+        (tests/test_dispatch_chunk.py) while fixed per-dispatch costs —
+        ~25 ms over this environment's TPU tunnel, H2D launch overhead
+        anywhere — are paid once per K steps. Returns (params, opt_state,
+        losses[K])."""
+        if self._chunk_step is None:
+            def chunk(params, opt_state, hbs, tables):
+                def body(carry, hb):
+                    p, o = carry
+                    p, o, loss = (
+                        self._dp_scan_body(p, o, hb, tables)
+                        if self.mesh is not None
+                        else self._step(p, o, hb, tables))
+                    return (p, o), loss
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), hbs)
+                return params, opt_state, losses
+
+            self._chunk_step = jax.jit(chunk)
+        return self._chunk_step(params, opt_state, hbs, self.tables)
+
+    def _dp_scan_body(self, params, opt_state, hb, tables):
+        loss, grads = jax.value_and_grad(self._dp_sharded_loss)(
+            params, hb, tables)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def _flush(self, params, opt_state, pending, losses):
+        """Dispatch the buffered host batches: one chunked scan when full,
+        per-step calls for a short tail (avoids a second scan compilation
+        per tail length)."""
+        if len(pending) == self.dispatch_chunk and len(pending) > 1:
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *pending)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                # chunk axis leads; the dp axis moved to axis 1
+                hbs = jax.device_put(
+                    stacked, NamedSharding(self.mesh, P(None, "dp")))
+            else:
+                hbs = jax.tree.map(jnp.asarray, stacked)
+            params, opt_state, ls = self.train_chunk(params, opt_state, hbs)
+            losses.extend(list(ls))
+        else:
+            for hb in pending:
+                params, opt_state, loss = self.train_step(
+                    params, opt_state, self._to_device(hb))
+                losses.append(loss)
+        pending.clear()
+        return params, opt_state, losses
 
     # -- host loop -------------------------------------------------------
     def init(self, key=None):
@@ -722,13 +841,29 @@ class MinibatchTrainer:
             if restored is not None:
                 params, opt_state, best, start_epoch = _unpack_fit_state(restored)
         history = []
+        from bignn_tpu.data.prefetch import ParallelPrefetcher
+
         for epoch in range(start_epoch, cfg.epochs):
             self.sampler.reseed(epoch)
             t0 = time.perf_counter()
             losses = []
-            for _ in range(n_steps):
-                params, opt_state, loss = self.train_step(params, opt_state)
-                losses.append(loss)
+            # concurrent prefetched sampling overlaps device compute; each
+            # step's batch is a pure function of (seed, epoch, step), so the
+            # trajectory is deterministic and resume-exact regardless of
+            # worker count (data/prefetch.py, sampler.sample_compact_at)
+            draws = ParallelPrefetcher(
+                lambda i, _e=epoch: self._draw_host(at=(_e, i)),
+                n_steps, workers=self.prefetch_workers)
+            K = max(1, self.dispatch_chunk)
+            pending = []
+            for hb in draws:
+                pending.append(hb)
+                if len(pending) == K:
+                    params, opt_state, losses = self._flush(
+                        params, opt_state, pending, losses)
+            if pending:
+                params, opt_state, losses = self._flush(
+                    params, opt_state, pending, losses)
             rec = {
                 "epoch": epoch,
                 "loss": float(jnp.mean(jnp.stack(losses))),

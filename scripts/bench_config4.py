@@ -30,6 +30,7 @@ def main():
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--dispatch-chunk", type=int, default=8)
     args = p.parse_args()
 
     import jax
@@ -118,22 +119,40 @@ def main():
     host_ms = float(np.median(t_host) * 1e3)
     dev_ms = float(np.median(t_dev) * 1e3)
 
-    # steady-state pass: what training actually does — async dispatch, so
-    # host sampling, H2D and device compute pipeline; block only at the end.
+    # steady-state pass: what MinibatchTrainer.fit actually does — indexed
+    # order-independent sampling on prefetch workers, K-step chunked scan
+    # dispatch (train_chunk) so fixed per-dispatch costs (the ~25 ms tunnel
+    # round-trip here; launch overhead anywhere) amortize across K steps.
+    # This is the sustained training rate.
+    from bignn_tpu.data.prefetch import ParallelPrefetcher
+
+    tr.dispatch_chunk = args.dispatch_chunk
+    n_steady = max(args.steps, 2 * args.dispatch_chunk)
+    # compile the K-step scan OUTSIDE the timed loop
+    warm = [s.sample_compact_at(9, i) for i in range(args.dispatch_chunk)]
+    if tr.dp == 1:
+        params, opt_state, _ = tr._flush(params, opt_state, list(warm), [])
+    losses, pending = [], []
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        hb = s.sample_compact()
-        hb_d = jax.tree.map(jnp.asarray, hb)
-        params, opt_state, loss = tr._train_step(params, opt_state, hb_d, tr.tables)
-    _ = float(loss)  # forced D2H: block_until_ready is not a reliable fence
-    steady = (time.perf_counter() - t0) / args.steps
+    for hb in ParallelPrefetcher(
+        lambda i: tr._draw_host(at=(0, i)), n_steady, workers=3
+    ):
+        pending.append(hb)
+        if len(pending) == tr.dispatch_chunk:
+            params, opt_state, losses = tr._flush(
+                params, opt_state, pending, losses)
+    if pending:
+        params, opt_state, losses = tr._flush(params, opt_state, pending, losses)
+    _ = float(losses[-1])  # forced D2H (block_until_ready unreliable on tunnel)
+    steady = (time.perf_counter() - t0) / n_steady
 
     # scan pass: all steps inside ONE jit over presampled, stacked compact
     # batches — the pure device rate with the tunnel's ~25ms fixed
     # dispatch+D2H cost amortized to nothing. This is what a prefetching
     # training loop sustains when device-bound (host sampling, measured
     # above, overlaps; here host ~34ms < device step, so device-bound).
-    hbs = [s.sample_compact() for _ in range(args.steps)]
+    n_scan = min(args.steps, 8)  # scan length only affects compile time
+    hbs = [s.sample_compact() for _ in range(n_scan)]
     stacked = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *hbs)
 
     @jax.jit
@@ -153,7 +172,7 @@ def main():
         t0 = time.perf_counter()
         _, _, losses = run_scan(params, opt_state, stacked, tr.tables)
         np.asarray(losses)
-        best = min(best, (time.perf_counter() - t0) / args.steps)
+        best = min(best, (time.perf_counter() - t0) / n_scan)
 
     print(json.dumps({
         "metric": "config4_edges_per_s_per_chip",
@@ -162,7 +181,11 @@ def main():
         "steady_state_step_ms": round(steady * 1e3, 1),
         "scan_step_ms": round(best * 1e3, 1),
         "edges_per_step": edges_per_step,
-        "value": round(edges_per_step / max(best, host_ms * 1e-3), 1),
+        # sustained prefetched-training rate (steady pass above); scan_step
+        # is the pure device ceiling once the ~25ms tunnel dispatch cost is
+        # amortized — reported for the roofline accounting in DESIGN.md
+        "value": round(edges_per_step / steady, 1),
+        "device_ceiling_edges_per_s": round(edges_per_step / best, 1),
         "unit": "edges/s/chip",
     }), flush=True)
 

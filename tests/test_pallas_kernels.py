@@ -252,6 +252,8 @@ def test_expanded_compact_src_perm_is_valid():
     model = BiGNN(BiGNNConfig.config1(feat_dim=8))
     tr = MinibatchTrainer(model, ds, TrainConfig(batch_size=16),
                           fanouts=(4,), resident=True)
+    tr.dense_inner = False  # the dense-adjacency path skips the src perm;
+    # this test checks the sparse (streaming-kernel) layout machinery
     cb = jax.tree.map(jnp.asarray, tr.sampler.sample_compact())
     pb = jax.jit(tr._expand_compact)(cb, tr.tables)
     src = np.asarray(pb.edge_src)
