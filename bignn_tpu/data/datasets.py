@@ -5,11 +5,15 @@ downloaded out-of-band (SURVEY.md §2.1 R9). This module defines the
 equivalent array cache format (.npz, documented below) and a registry:
 
   * ``synthetic-small``  — config #1 stand-in (~500 drugs), generated.
-  * ``drugbank``         — loads ``<root>/drugbank.npz`` if present, else a
-                           generated stand-in with DrugBank-like statistics
-                           (~1.7K drugs, ~190K interactions).
-  * ``biosnap``          — loads ``<root>/biosnap.npz`` if present, else a
-                           stand-in (~1.5K drugs, ~48K interactions).
+  * ``ddi-sample``       — in-repo REAL data: ~66 real drug SMILES + ~146
+                           documented interactions (data/real_sample.py).
+  * ``drugbank``         — loads ``<root>/drugbank.npz`` if present; else
+                           converts a raw reference cache at
+                           ``<root>/drugbank{.pkl,/}`` (data/convert.py);
+                           else a generated stand-in with DrugBank-like
+                           statistics (~1.7K drugs, ~190K interactions).
+  * ``biosnap``          — same lookup chain; stand-in is ~1.5K drugs,
+                           ~48K interactions.
   * ``synthetic-large``  — config #4 (100K subgraphs / 10M outer edges by
                            default; scaled down via kwargs for tests).
 
@@ -105,6 +109,10 @@ def load_dataset(
     name = name.lower()
     data_root = data_root or os.environ.get("BIGNN_DATA_ROOT", "data")
 
+    if name == "ddi-sample":
+        from bignn_tpu.data.real_sample import load_real_sample
+
+        return load_real_sample(seed=seed, **overrides)
     if name in ("synthetic-small", "synthetic"):
         kw = dict(num_drugs=500, feat_dim=16, seed=seed, name="synthetic-small")
         kw.update(overrides)
@@ -121,6 +129,14 @@ def load_dataset(
         path = os.path.join(data_root, f"{name}.npz")
         if os.path.exists(path):
             return load_npz_cache(path, name, seed)
+        # raw reference cache (klepto dir / pickle): convert once, then load
+        for raw in (os.path.join(data_root, f"{name}.pkl"),
+                    os.path.join(data_root, f"{name}.pickle"),
+                    os.path.join(data_root, name)):
+            if os.path.exists(raw):
+                from bignn_tpu.data.convert import convert_reference_cache
+
+                return convert_reference_cache(raw, path, name, seed)
         kw = dict(_STANDIN_SPECS[name])
         kw.update(overrides)
         return make_synthetic_ddi(seed=seed, name=f"{name}-standin", **kw)
