@@ -29,6 +29,20 @@ from bignn_tpu.ops import (
 from bignn_tpu.ops.gather import gather_rows, gather_rows_sorted_grad
 
 
+def _block_dense_masked_softmax_agg(e, cnt, v, compute_dtype):
+    """Batched (per-128-block) masked attention aggregation.
+
+    ``e``: [B, N, S, H], ``cnt``: [B, N, S], ``v``: [B, S, H, D] ->
+    [B, N, H, D]. Blocks are independent molecules of the block-local
+    layout, so this is exactly _dense_masked_softmax_agg vmapped over the
+    block axis — attention never crosses a 128-row block (the layout
+    contract), and padding blocks (cnt == 0 everywhere) aggregate to 0.
+    """
+    return jax.vmap(
+        lambda eb, cb, vb: _dense_masked_softmax_agg(eb, cb, vb, compute_dtype)
+    )(e, cnt, v)
+
+
 def _dense_masked_softmax_agg(e, cnt, v, compute_dtype):
     """Dense attention aggregation over an adjacency-count mask.
 
@@ -167,9 +181,8 @@ class GATConv:
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
               src_perm=None, src_sorted=None, block_plan=None, dense=None,
               block_dense=None):
-        # attention replaces fixed normalization; the block-dense masked
-        # attention path is future work (flagship configs use GIN inner)
-        del edge_weight, block_plan, block_dense
+        # attention replaces fixed normalization
+        del edge_weight, block_plan
         H, D = self.heads, self.head_dim
         h = jnp.dot(
             x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32
@@ -177,7 +190,20 @@ class GATConv:
         hh = h.reshape(-1, H, D)
         score_l = jnp.sum(hh * params["a_l"], axis=-1)  # [N, H] (dst part)
         score_r = jnp.sum(hh * params["a_r"], axis=-1)  # [N, H] (src part)
-        if dense is not None:  # masked dense attention over [N, N]
+        if block_dense is not None:  # block-diagonal masked attention:
+            # molecules never cross a 128-row block, so per-block dense
+            # attention is exact — GAT-inner models ride the same
+            # block-local (and quantized resident) layouts as GIN/GCN
+            cnt = block_dense[1]
+            nblk = cnt.shape[0]
+            e = jax.nn.leaky_relu(
+                score_l.astype(jnp.float32).reshape(nblk, 128, 1, H)
+                + score_r.astype(jnp.float32).reshape(nblk, 1, 128, H),
+                self.negative_slope)
+            agg = _block_dense_masked_softmax_agg(
+                e, cnt, hh.reshape(nblk, 128, H, D), x.dtype
+            ).reshape(-1, H, D)
+        elif dense is not None:  # masked dense attention over [N, N]
             from bignn_tpu.ops.dispatch import get_backend
 
             b = get_backend()
@@ -243,7 +269,7 @@ class DotAttnConv:
     def apply(self, params, x, edge_src, edge_dst, edge_weight, num_nodes,
               src_perm=None, src_sorted=None, block_plan=None, dense=None,
               block_dense=None):
-        del edge_weight, block_plan, block_dense
+        del edge_weight, block_plan
         H, D = self.heads, self.head_dim
         def _proj(w):
             return jnp.dot(
@@ -253,6 +279,19 @@ class DotAttnConv:
         q = _proj(params["wq"])
         k = _proj(params["wk"])
         v = _proj(params["wv"])
+        if block_dense is not None:  # per-block q.k (block-local layout)
+            cnt = block_dense[1]
+            nblk = cnt.shape[0]
+            e = jnp.einsum(
+                "bdhf,bshf->bdsh", q.reshape(nblk, 128, H, D),
+                k.reshape(nblk, 128, H, D), preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(jnp.float32(D))
+            agg = _block_dense_masked_softmax_agg(
+                e, cnt, v.reshape(nblk, 128, H, D), x.dtype
+            ).reshape(-1, H, D)
+            return parse_activation(self.activation)(
+                agg.reshape(-1, H * D) + params["b"]
+            ).astype(x.dtype)
         if dense is not None:  # full q.k on the MXU, masked softmax
             e = jnp.einsum(
                 "dhf,shf->dsh", q, k, preferred_element_type=jnp.float32
