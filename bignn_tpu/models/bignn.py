@@ -170,11 +170,26 @@ class BiGNN:
         graph_index: Sequence[jax.Array],
         num_drugs: int,
     ) -> jax.Array:
-        """Run all buckets through the inner level; scatter to [num_drugs, d]."""
+        """Run all buckets through the inner level; place into [num_drugs, d].
+
+        Buckets partition the drug set (sparse/bucketing.py: every graph is
+        assigned to exactly one bucket), so the concatenated bucket index is a
+        permutation of ``range(num_drugs)`` and the placement is a
+        permutation *gather* with a gather-only VJP — no TPU scatter on
+        either pass (the "no device scatter" layout contract, DESIGN.md §1).
+        A zeros+scatter fallback covers callers whose buckets don't cover
+        every drug (none in-tree)."""
+        from bignn_tpu.ops.gather import permutation_scatter_rows
+
         _, inner_dim = self._inner_stack()
+        embs = [self.encode_inner(params, batch) for batch in buckets]
+        if sum(int(e.shape[0]) for e in embs) == num_drugs:
+            cat_idx = jnp.concatenate(
+                [jnp.asarray(i, jnp.int32) for i in graph_index])
+            cat = embs[0] if len(embs) == 1 else jnp.concatenate(embs, axis=0)
+            return permutation_scatter_rows(cat, cat_idx).astype(jnp.float32)
         emb = jnp.zeros((num_drugs, inner_dim), jnp.float32)
-        for batch, idx in zip(buckets, graph_index):
-            bucket_emb = self.encode_inner(params, batch)
+        for bucket_emb, idx in zip(embs, graph_index):
             emb = emb.at[jnp.asarray(idx)].set(bucket_emb)
         return emb
 

@@ -87,3 +87,32 @@ def _gather_sorted_bwd(interpret, res, g):
 
 
 _gather_sorted_vjp.defvjp(_gather_sorted_fwd, _gather_sorted_bwd)
+
+
+def permutation_scatter_rows(values: jax.Array, idx: jax.Array) -> jax.Array:
+    """``out[idx[j]] = values[j]`` for a *permutation* ``idx`` — scatter-free.
+
+    ``idx`` must be a permutation of ``range(len(values))`` (every output row
+    written exactly once). Because the map is a bijection, the scatter is
+    exactly a gather by the inverse permutation: forward is
+    ``values[argsort(idx)]`` and the VJP is ``g[idx]`` — both row gathers, so
+    neither direction emits a TPU scatter HLO (which serializes; see module
+    docstring). Used by ``BiGNN.embed_drugs`` to place bucket embeddings into
+    the [num_drugs, d] matrix (SURVEY.md §3.2 step 1)."""
+    return _perm_scatter(values, idx)
+
+
+@jax.custom_vjp
+def _perm_scatter(values, idx):
+    return jnp.take(values, jnp.argsort(idx), axis=0)
+
+
+def _perm_scatter_fwd(values, idx):
+    return _perm_scatter(values, idx), idx
+
+
+def _perm_scatter_bwd(idx, g):
+    return jnp.take(g, idx, axis=0), None
+
+
+_perm_scatter.defvjp(_perm_scatter_fwd, _perm_scatter_bwd)

@@ -106,3 +106,63 @@ def test_gather_rows_clips_oob():
     idx = jnp.asarray([0, 3, 5])  # 5 out of range -> clipped to 3
     out = np.asarray(gather_rows(x, idx))
     np.testing.assert_allclose(out[2], np.asarray(x)[3])
+
+
+def test_permutation_scatter_rows_no_scatter_hlo():
+    """out[idx[j]] = values[j] via inverse-permutation gather; neither the
+    forward nor the VJP may emit a scatter primitive (DESIGN.md §1 layout
+    contract — VERDICT r1 weak #3: embed_drugs used to `.at[].set`)."""
+    from bignn_tpu.ops.gather import permutation_scatter_rows
+
+    rng = np.random.default_rng(0)
+    n, d = 37, 5
+    idx = rng.permutation(n).astype(np.int32)
+    vals = rng.normal(size=(n, d)).astype(np.float32)
+
+    out = permutation_scatter_rows(jnp.asarray(vals), jnp.asarray(idx))
+    ref = np.zeros_like(vals)
+    ref[idx] = vals
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6)
+
+    # gradient parity vs the scatter formulation
+    def f_perm(v):
+        return jnp.sum(permutation_scatter_rows(v, jnp.asarray(idx)) ** 2 * 0.5)
+
+    def f_scatter(v):
+        return jnp.sum(jnp.zeros_like(v).at[jnp.asarray(idx)].set(v) ** 2 * 0.5)
+
+    g1 = jax.grad(f_perm)(jnp.asarray(vals))
+    g2 = jax.grad(f_scatter)(jnp.asarray(vals))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+    # no scatter primitive anywhere in forward or backward jaxprs
+    for fn in (f_perm, jax.grad(f_perm)):
+        jaxpr = jax.make_jaxpr(fn)(jnp.asarray(vals))
+        prims = {str(eqn.primitive) for eqn in jaxpr.jaxpr.eqns} | {
+            str(e.primitive)
+            for eqn in jaxpr.jaxpr.eqns
+            if eqn.params.get("call_jaxpr") is not None
+            for e in eqn.params["call_jaxpr"].eqns
+        }
+        assert not any("scatter" in p for p in prims), prims
+
+
+def test_embed_drugs_matches_scatter_reference():
+    """Multi-bucket embed_drugs (permutation-gather path) == zeros+scatter."""
+    from bignn_tpu.data import make_synthetic_ddi, prepare_device_data
+    from bignn_tpu.models import BiGNN, BiGNNConfig
+
+    ds = make_synthetic_ddi(num_drugs=24, feat_dim=6, avg_degree=4.0,
+                            min_atoms=4, max_atoms=16, seed=3)
+    data = prepare_device_data(ds, max_buckets=3)
+    assert len(data.bucketing.batches) > 1  # exercise the concat path
+    model = BiGNN(BiGNNConfig(feat_dim=ds.feat_dim))
+    params = model.init(jax.random.key(0))
+    buckets = tuple(jax.tree.map(jnp.asarray, b) for b in data.bucketing.batches)
+    gidx = tuple(jnp.asarray(i) for i in data.bucketing.graph_index)
+
+    emb = model.embed_drugs(params, buckets, gidx, ds.num_drugs)
+    ref = np.zeros((ds.num_drugs, emb.shape[1]), np.float32)
+    for b, i in zip(buckets, gidx):
+        ref[np.asarray(i)] = np.asarray(model.encode_inner(params, b))
+    np.testing.assert_allclose(np.asarray(emb), ref, rtol=1e-5, atol=1e-5)
