@@ -26,6 +26,10 @@ def main(argv=None) -> dict:
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="epochs between checkpoints (0 = off)")
     p.add_argument("--graph-shards", type=int, default=None)
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel shards (SURVEY.md P1): shards pair "
+                        "minibatches over a dp-only mesh in full/minibatch "
+                        "modes (p2 mode derives dp from devices/graph-shards)")
     p.add_argument("--overlap", action="store_true",
                    help="p2 mode: overlap halo exchange with inner aggregation")
     p.add_argument("--profile", default=None, help="jax profiler trace dir")
@@ -83,6 +87,17 @@ def main(argv=None) -> dict:
         args.run_dir and args.checkpoint_every
     ) else None
 
+    dp_mesh = None
+    if args.dp and cfg.mode in ("minibatch", "full"):
+        from bignn_tpu.parallel import make_mesh
+
+        if args.dp > len(jax.devices()):
+            raise SystemExit(
+                f"--dp {args.dp} exceeds {len(jax.devices())} devices")
+        dp_mesh = make_mesh(dp=args.dp, graph=1,
+                            devices=jax.devices()[: args.dp])
+        logger.log({"event": "mesh", "dp": args.dp, "graph": 1})
+
     fit_kw = dict(log_fn=logger)
     if ckpt is not None:
         fit_kw.update(ckpt=ckpt, checkpoint_every=args.checkpoint_every)
@@ -90,14 +105,15 @@ def main(argv=None) -> dict:
         if cfg.mode == "minibatch":
             trainer = MinibatchTrainer(model, ds, cfg.train, fanouts=cfg.fanouts,
                                        max_drugs=cfg.max_drugs,
-                                       dispatch_chunk=cfg.dispatch_chunk)
+                                       dispatch_chunk=cfg.dispatch_chunk,
+                                       mesh=dp_mesh)
             params, result = trainer.fit(**fit_kw)
         elif cfg.mode == "p2":
             result = _run_p2(model, ds, cfg, logger, overlap=args.overlap)
             params = None
         else:
             data = prepare_device_data(ds, max_buckets=cfg.max_buckets)
-            trainer = Trainer(model, data, cfg.train)
+            trainer = Trainer(model, data, cfg.train, mesh=dp_mesh)
             params, result = trainer.fit(**fit_kw)
 
     if ckpt is not None:

@@ -43,9 +43,16 @@ class TrainConfig:
 
 
 class Trainer:
-    """Single-host trainer. Distribution lives in parallel/ (SURVEY.md T6)."""
+    """Single-host trainer. Distribution lives in parallel/ (SURVEY.md T6).
 
-    def __init__(self, model: BiGNN, data: DeviceData, config: TrainConfig):
+    ``mesh`` (a dp-only jax.sharding.Mesh) turns the step data-parallel
+    (SURVEY.md §2.3 P1): pair minibatches shard over 'dp', params/graph
+    structure replicate, XLA inserts the gradient all-reduce
+    (parallel/dp.py). The trajectory equals the single-device one on the
+    same global batch (tests/test_dp.py)."""
+
+    def __init__(self, model: BiGNN, data: DeviceData, config: TrainConfig,
+                 mesh=None):
         self.model = model
         self.data = data
         self.config = config
@@ -58,7 +65,32 @@ class Trainer:
         self.buckets = tuple(jax.tree.map(jnp.asarray, b) for b in data.bucketing.batches)
         self.graph_index = tuple(jnp.asarray(i) for i in data.bucketing.graph_index)
         self.outer = jax.tree.map(jnp.asarray, data.outer)
-        self._train_step = jax.jit(self._step)
+        self.mesh = mesh
+        if mesh is not None:
+            import math as _math
+
+            from bignn_tpu.parallel.dp import dp_train_step_fn, shard_pairs
+
+            if "dp" not in mesh.axis_names:
+                raise ValueError("Trainer DP mesh needs a 'dp' axis")
+            dp = int(mesh.shape["dp"])
+            if _math.prod(mesh.shape.values()) != dp:
+                raise ValueError("Trainer DP mesh must be dp-only")
+            if config.batch_size % dp:
+                raise ValueError(
+                    f"batch_size {config.batch_size} not divisible by dp={dp}")
+            dp_step = dp_train_step_fn(
+                model, self.optimizer, mesh, data.num_drugs, config.neg_ratio
+            )
+
+            def _dp_train_step(params, opt_state, key, pairs, mask):
+                pairs, mask = shard_pairs(mesh, pairs, mask)
+                return dp_step(params, opt_state, key, pairs, mask,
+                               self.buckets, self.graph_index, self.outer)
+
+            self._train_step = _dp_train_step
+        else:
+            self._train_step = jax.jit(self._step)
         self._score_pairs = jax.jit(self._score)
 
     # -- jitted bodies ---------------------------------------------------
