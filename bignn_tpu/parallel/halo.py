@@ -61,15 +61,29 @@ def halo_exchange(
 
 def dist_gcn_apply(conv: GCNConv, params, h_local, src, dst, weight, send_idx,
                    axis_name: str = "graph"):
+    """Boundary-first schedule: the [G, S] boundary rows are transformed and
+    put on the wire BEFORE the full-width transform, so the all-to-all is in
+    flight while the [B, F] matmul runs (XLA async collectives overlap
+    independent work). Transform commutes with the row gather, so values are
+    identical to exchange-after-transform; boundary rows are transformed
+    twice (G*S << B rows — negligible)."""
     b = h_local.shape[0]
+    bnd = jnp.take(h_local, send_idx, axis=0, mode="clip")  # [G, S, in]
+    sendbuf = jnp.dot(bnd, params["w"], preferred_element_type=jnp.float32)
+    recv = jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
     h_t = jnp.dot(h_local, params["w"], preferred_element_type=jnp.float32)
-    ext = halo_exchange(h_t, send_idx, axis_name)
+    g, s, f = recv.shape
+    ext = jnp.concatenate([h_t, recv.reshape(g * s, f)], axis=0)
     agg = spmm_sorted_coo(ext, src, dst, weight, b)
     return parse_activation(conv.activation)(agg + params["b"])
 
 
 def dist_gin_apply(conv: GINConv, params, h_local, src, dst, weight, send_idx,
                    axis_name: str = "graph"):
+    """GIN sends RAW rows (its transform happens after aggregation), so the
+    a2a depends only on a row gather and there is no independent same-layer
+    work to hide it behind — boundary-first doesn't apply; layer-0 GIN still
+    overlaps with the interior inner aggregation (p2_overlap_forward)."""
     del weight
     b = h_local.shape[0]
     ext = halo_exchange(h_local, send_idx, axis_name)
@@ -87,13 +101,21 @@ def dist_gat_apply(conv: GATConv, params, h_local, src, dst, weight, send_idx,
     del weight
     b = h_local.shape[0]
     H, D = conv.heads, conv.head_dim
+    # boundary-first (see dist_gcn_apply): transform + score the [G, S]
+    # boundary rows, launch the a2a, then do the full-width transform while
+    # the exchange is in flight. One payload carries features + src logits.
+    bnd = jnp.take(h_local, send_idx, axis=0, mode="clip")  # [G, S, in]
+    bnd_t = jnp.dot(bnd, params["w"], preferred_element_type=jnp.float32)
+    g, s = bnd_t.shape[0], bnd_t.shape[1]
+    sr_bnd = jnp.sum(bnd_t.reshape(g, s, H, D) * params["a_r"], axis=-1)
+    sendbuf = jnp.concatenate([bnd_t, sr_bnd], axis=-1)  # [G, S, H*D + H]
+    recv = jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
     h_t = jnp.dot(h_local, params["w"], preferred_element_type=jnp.float32)
     hh = h_t.reshape(b, H, D)
     score_l = jnp.sum(hh * params["a_l"], axis=-1)  # [B, H] dst part (local)
-    score_r = jnp.sum(hh * params["a_r"], axis=-1)  # [B, H] src part (travels)
-    # one exchange carries features + src attention logits
+    score_r = jnp.sum(hh * params["a_r"], axis=-1)  # [B, H] src part
     payload = jnp.concatenate([h_t, score_r], axis=1)  # [B, H*D + H]
-    ext = halo_exchange(payload, send_idx, axis_name)
+    ext = jnp.concatenate([payload, recv.reshape(g * s, -1)], axis=0)
     h_ext, sr_ext = ext[:, : H * D], ext[:, H * D :]
     e = gather_rows(score_l, dst) + gather_rows(sr_ext, src)
     e = jax.nn.leaky_relu(e, conv.negative_slope)  # [E, H]
@@ -173,7 +195,8 @@ def p2_overlap_forward(
     enter the all-to-all, and the interior molecules' inner aggregation runs
     while the exchange is in flight (no data dependency — XLA's async
     collectives schedule them concurrently). Outer layer 1 consumes the raw
-    ext; deeper layers fall back to the per-layer exchange."""
+    ext; deeper layers use the boundary-first schedule (dist_*_apply): their
+    exchange overlaps the layer's own full-width transform."""
     h_bnd = model.encode_inner(params, bnd_batch)  # [B, d]
     sendbuf = jnp.take(h_bnd, send_idx, axis=0, mode="clip")  # [G, S, d]
     recv = jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
