@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bignn_tpu.ops.pallas.util import out_struct
+
 BLOCK_ROWS = 128
 
 
@@ -239,8 +241,8 @@ def build_block_adj(
                 memory_space=pltpu.VMEM),
             scratch_shapes=[s for s in scratch if s is not None],
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (nblk_pad, BLOCK_ROWS, BLOCK_ROWS), out_dtype),
+        out_shape=out_struct(
+            (nblk_pad, BLOCK_ROWS, BLOCK_ROWS), out_dtype, estarts, *inputs),
         interpret=interpret,
     )(estarts.astype(jnp.int32), *inputs)
     return out[:nblk]

@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bignn_tpu.ops.pallas.util import out_struct
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -266,7 +268,7 @@ def _block_spmm_impl(
                 memory_space=pltpu.VMEM),
             scratch_shapes=[s for s in scratch if s is not None],
         ),
-        out_shape=jax.ShapeDtypeStruct((n, f_pad), x.dtype),
+        out_shape=out_struct((n, f_pad), x.dtype, estarts, *inputs),
         interpret=interpret,
     )(estarts.astype(jnp.int32), *inputs)
     return out[:num_nodes, :f]

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bignn_tpu.ops.pallas.util import out_struct
+
 
 def _a2a_kernel(send_ref, recv_ref, send_sem, recv_sem, copy_sem, *,
                 axis_name: str, axis_size: int, collective_id: int):
@@ -116,7 +118,7 @@ def all_to_all_pallas(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((g, s, f), x.dtype),
+        out_shape=out_struct((g, s, f), x.dtype, x),
         scratch_shapes=[
             pltpu.SemaphoreType.DMA((axis_size,)),  # send
             pltpu.SemaphoreType.DMA((axis_size,)),  # recv (per source)

@@ -48,6 +48,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bignn_tpu.ops.pallas.util import out_struct
+
 NEG = -1e30  # "minus infinity" that survives f32 arithmetic
 
 
@@ -146,8 +148,8 @@ def _flash_fwd(score_l, score_r, v, cnt, *, slope, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((np_, heads * head_dim), v.dtype),
-            jax.ShapeDtypeStruct((np_, heads), jnp.float32),
+            out_struct((np_, heads * head_dim), v.dtype, score_l, srt, vd, cnt),
+            out_struct((np_, heads), jnp.float32, score_l, srt, vd, cnt),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
@@ -202,9 +204,9 @@ def _flash_bwd(score_l, score_r, v, cnt, lse, out, g, *, slope, interpret):
                          memory_space=pltpu.VMEM),  # d_v by src
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((np_, heads), jnp.float32),
-            jax.ShapeDtypeStruct((heads, np_), jnp.float32),
-            jax.ShapeDtypeStruct((np_, heads * head_dim), v.dtype),
+            out_struct((np_, heads), jnp.float32, score_l, srt, vd, cnt, gd, lse, delta),
+            out_struct((heads, np_), jnp.float32, score_l, srt, vd, cnt, gd, lse, delta),
+            out_struct((np_, heads * head_dim), v.dtype, score_l, srt, vd, cnt, gd, lse, delta),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),

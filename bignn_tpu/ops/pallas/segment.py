@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bignn_tpu.ops.pallas.util import out_struct
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -242,7 +244,7 @@ def _segment_sum_impl(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), data.dtype),
+        out_shape=out_struct((n_pad, f_pad), data.dtype, starts, data, seg_p),
         interpret=interpret,
     )(starts, data, seg_p[None, :])
     return out[:num_segments, :f]
@@ -466,7 +468,7 @@ def segment_max_pallas(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, h), scores.dtype),
+        out_shape=out_struct((n_pad, h), scores.dtype, starts, scores_t, seg_p),
         interpret=interpret,
     )(starts, scores_t, seg_p[None, :])
     out = out[:num_segments]

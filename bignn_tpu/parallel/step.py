@@ -24,9 +24,16 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bignn_tpu.data.sampler import sample_negative_pairs
+from bignn_tpu.ops.dispatch import get_backend
 from bignn_tpu.models.bignn import BiGNN
 from bignn_tpu.parallel.halo import dist_outer_forward, p2_overlap_forward
 from bignn_tpu.parallel.partition import OuterPartitionPlan
+
+
+def _check_vma() -> bool:
+    """shard_map replication proof: on except under the interpret backend
+    (see the comment at the first call site)."""
+    return get_backend(None) != "pallas_interpret"
 
 
 def make_p2_train_step(
@@ -76,14 +83,18 @@ def make_p2_train_step(
         # provable for shard_map's out_specs check.
         return jax.lax.pmean(num / jnp.maximum(den, 1.0), "graph")
 
-    # check_vma=False: Pallas kernels (block_spmm / segment kernels) return
-    # ShapeDtypeStructs without vma annotations, which the shard_map varying-
-    # mesh-axes check rejects; per-shard correctness is covered by the
-    # single-vs-multi-device equality tests instead.
+    # check_vma on (r1 shipped False): Pallas outputs now carry vma
+    # annotations inherited from their operands (ops/pallas/util.out_struct),
+    # so shard_map's replication proof runs on compiled backends; values are
+    # additionally covered by the single-vs-multi-device equality tests.
+    # The CI-only interpret backend keeps the opt-out: the Pallas HLO
+    # interpreter evaluates kernel INTERNALS under the vma checker, where
+    # program-id-derived slices are unvarying vs varying refs — an upstream
+    # limitation whose error message itself prescribes check_vma=False.
     sharded_loss = jax.shard_map(
         shard_loss,
         mesh=mesh,
-        check_vma=False,
+        check_vma=_check_vma(),
         in_specs=(
             P(),            # params (replicated)
             P("dp", None),  # pairs
@@ -153,7 +164,7 @@ def make_p2_score_fn(
     return jax.jit(jax.shard_map(
         shard_score,
         mesh=mesh,
-        check_vma=False,
+        check_vma=_check_vma(),
         in_specs=(P(), P("dp", None), P("graph"),
                   P("graph"), P("graph"), P("graph"), P("graph")),
         out_specs=P("dp"),

@@ -26,6 +26,7 @@ from bignn_tpu.data.hierarchical import (
 from bignn_tpu.data.sampler import EdgeMinibatchSampler, sample_negative_pairs
 from bignn_tpu.data.schema import DDIDataset, DeviceData
 from bignn_tpu.models.bignn import BiGNN
+from bignn_tpu.parallel.step import _check_vma as _step_check_vma
 from bignn_tpu.models.loss import bce_with_logits_loss
 from bignn_tpu.sparse.formats import OuterGraph, PaddedGraphBatch
 from bignn_tpu.train.metrics import average_precision, roc_auc
@@ -622,9 +623,11 @@ class MinibatchTrainer:
     def _make_dp_step(self):
         """shard_map dp step: one sampled batch per shard, global masked-mean
         loss via psum'd (sum, count); grads come from AD of the shard_map.
-        check_vma=False for the same reason as parallel/step.py — the Pallas
-        kernels inside the forward lack vma annotations; correctness is
-        covered by the single-vs-multi-device equality test."""
+        check_vma: Pallas outputs carry vma inherited from their operands
+        (ops/pallas/util.out_struct), so the replication proof runs on
+        compiled backends (off only under the CI interpret backend — see
+        parallel/step.py); the single-vs-multi-device equality test covers
+        values."""
         from jax.sharding import PartitionSpec as P
 
         from bignn_tpu.models.loss import bce_with_logits_elementwise
@@ -640,7 +643,7 @@ class MinibatchTrainer:
         sharded_loss = jax.shard_map(
             shard_loss,
             mesh=self.mesh,
-            check_vma=False,
+            check_vma=_step_check_vma(),
             in_specs=(P(), P("dp"), P()),
             out_specs=P(),
         )
