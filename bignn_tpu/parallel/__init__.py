@@ -18,6 +18,11 @@ from bignn_tpu.parallel.mesh import (
     make_mesh,
 )
 from bignn_tpu.parallel.dp import shard_pairs, dp_train_step_fn
+from bignn_tpu.parallel.tp import (
+    shard_params_tp,
+    tp_param_specs,
+    tp_train_step_fn,
+)
 from bignn_tpu.parallel.partition import (
     OuterPartitionPlan,
     build_outer_partition,
@@ -47,4 +52,7 @@ __all__ = [
     "boundary_drugs",
     "make_p2_train_step",
     "device_put_plan",
+    "shard_params_tp",
+    "tp_param_specs",
+    "tp_train_step_fn",
 ]

@@ -20,10 +20,22 @@ def make_mesh(
     dp: int | None = None,
     graph: int = 1,
     devices: list | None = None,
+    tp: int = 1,
 ) -> Mesh:
-    """Build a ('dp', 'graph') mesh. Defaults: all devices on 'dp'."""
+    """Build a ('dp', 'graph') mesh — or ('dp', 'tp') when ``tp`` > 1
+    (P3 feature-dim sharding, parallel/tp.py; tp and graph don't compose:
+    the halo path assumes full-width rows). Defaults: all devices on 'dp'."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if tp > 1:
+        if graph != 1:
+            raise ValueError("tp and graph axes don't compose (see docstring)")
+        if dp is None:
+            dp = n // tp
+        if dp * tp != n:
+            raise ValueError(f"dp({dp}) * tp({tp}) != device count ({n})")
+        return Mesh(np.asarray(devices).reshape(dp, tp),
+                    axis_names=("dp", "tp"))
     if dp is None:
         dp = n // graph
     if dp * graph != n:
