@@ -9,10 +9,13 @@ to ``lax.all_to_all`` this kernel is the building block for deeper
 communication/computation overlap (the send can be issued mid-kernel in
 future fusions); today it is interface-compatible and validated:
 
+  * FULL multi-device protocol (barrier, remote DMA, per-source recv
+    semaphores) vs lax.all_to_all on a 4-fake-device mesh under the Pallas
+    TPU simulator (``pltpu.InterpretParams`` — unlike the HLO interpreter it
+    models cross-device DMA), tests/test_pallas_collectives.py;
   * degenerate axis_size=1 on CPU interpret + one real TPU chip (self-copy);
-  * multi-chip parity vs lax.all_to_all when >= 2 TPU devices are attached
-    (tests/test_pallas_collectives.py, skipped otherwise — this environment
-    exposes a single chip; see SURVEY.md §6 hardware note).
+  * compiled multi-chip parity when >= 2 TPU devices are attached (skipped
+    otherwise — this environment exposes a single chip; SURVEY.md §6).
 
 Protocol per device (all devices run the same program):
   1. global barrier with every peer (the receiver's output buffer must exist
@@ -99,13 +102,28 @@ def all_to_all_pallas(
     axis_size: int,
     *,
     collective_id: int = 7,
-    interpret: bool = False,
+    interpret=None,
 ) -> jax.Array:
     """Pallas remote-DMA all-to-all; result[i] = chunk sent by device i.
 
     Must be called inside shard_map over ``axis_name``. Falls back to a plain
     copy when axis_size == 1.
+
+    ``interpret``: True (HLO interpreter — degenerate single-device only) or
+    a ``pltpu.InterpretParams`` (TPU simulator: validates the REAL multi-
+    device protocol — barrier, RDMA, per-source semaphores — on fake CPU
+    devices; tests/test_pallas_collectives.py). Defaults from the op
+    backend: the ``pallas_interpret`` backend gets the TPU simulator,
+    everything else compiles.
     """
+    if interpret is None:
+        from bignn_tpu.ops.dispatch import get_backend
+
+        interpret = (
+            pltpu.InterpretParams()
+            if get_backend(None) == "pallas_interpret"
+            else False
+        )
     g, s, f = x.shape
     assert g == axis_size, (g, axis_size)
     kernel = functools.partial(
