@@ -417,11 +417,14 @@ class HierarchicalSampler:
         otherwise (deduplicated via the canonical-pair dedup downstream).
         """
         rng = rng if rng is not None else self._rng
+        budget = self.drug_budget
         nodes = np.unique(seeds)
         seen = np.zeros(self.num_nodes, bool)
         seen[nodes] = True
         order = [nodes]
-        frontier = nodes
+        frontier = nodes[:budget]
+        total = len(frontier)
+        dropped = max(len(nodes) - budget, 0)
         es_all, ed_all = [], []
         for fanout in self.fanouts:
             if len(frontier) == 0:
@@ -455,13 +458,26 @@ class HierarchicalSampler:
             es_all.append(es)
             ed_all.append(ed)
             new = np.unique(es[~seen[es]])
+            # Budget-aware frontier: drug_budget prefix-truncates the node
+            # list downstream anyway (seed-preserving, BFS order), and an
+            # edge both of whose endpoints aren't kept is filtered there
+            # too — so expanding a beyond-budget node is provably wasted
+            # host work (its edges can never survive: one endpoint is the
+            # truncated node itself). Capping here keeps the node set
+            # bit-identical to post-hoc truncation (np.unique order == the
+            # prefix order) and roughly halves sampling cost at config-#4
+            # scale. Dropped counts still feed the truncation counters.
+            keep = min(len(new), budget - total)
+            dropped += len(new) - keep
+            new = new[:keep]
+            total += keep
             seen[new] = True
             order.append(new)
             frontier = new
         nodes_out = np.concatenate(order)
         es = np.concatenate(es_all) if es_all else np.zeros(0, np.int64)
         ed = np.concatenate(ed_all) if ed_all else np.zeros(0, np.int64)
-        return nodes_out, es, ed
+        return nodes_out, es, ed, dropped
 
     @property
     def pair_cap(self) -> int:
@@ -519,8 +535,8 @@ class HierarchicalSampler:
             labels = np.concatenate([labels, np.zeros(self.pair_cap - p, np.float32)])
 
         seeds = np.unique(all_pairs.reshape(-1))
-        nodes, es, ed = self._sample_neighbors(seeds, rng)
-        n_sampled = len(nodes)
+        nodes, es, ed, hop_dropped = self._sample_neighbors(seeds, rng)
+        n_sampled = len(nodes) + hop_dropped
         self._count("batches_sampled", 1)
         if len(nodes) > self.drug_budget:  # cap overflow: keep seeds first
             nodes = nodes[: self.drug_budget]
