@@ -60,12 +60,20 @@ class CompactBatch:
     # block-local layout (host greedy packing; zeros when not block-local):
     pack_off: np.ndarray  # [drug_budget] int32 packed row offset per slot
     block_slot0: np.ndarray  # [node_cap/128 + 1] int32 first slot of block b
-    outer_src: np.ndarray  # [outer_edge_cap]
+    # Outer subgraph, H2D-minimized (per-step H2D bandwidth is THE
+    # sustained-throughput bottleneck on thin host links — measured 75 MB/s
+    # over this environment's tunnel, 25 ms/step at the r2 payload): slot
+    # ids ship as int16 when drug_budget fits, and the three derivable
+    # arrays (weight = invdeg[src]*invdeg[dst], src-sort perm + sorted) are
+    # None here — the trainer derives them ON DEVICE from src/dst + the
+    # resident inv_sqrt_deg table (MinibatchTrainer._derive_outer;
+    # jnp.argsort(stable) == the host's np.argsort(kind='stable')).
+    outer_src: np.ndarray  # [outer_edge_cap] int16 when D <= 32767
     outer_dst: np.ndarray  # [outer_edge_cap] sorted; pad -> drug_budget
-    outer_weight: np.ndarray
-    outer_src_perm: np.ndarray  # [outer_edge_cap] argsort(outer_src)
-    outer_src_sorted: np.ndarray  # [outer_edge_cap] outer_src[perm]
-    pairs: np.ndarray  # [pair_cap, 2] local slots
+    outer_weight: np.ndarray | None  # None => derive on device
+    outer_src_perm: np.ndarray | None  # [outer_edge_cap] argsort(outer_src)
+    outer_src_sorted: np.ndarray | None  # [outer_edge_cap] outer_src[perm]
+    pairs: np.ndarray  # [pair_cap, 2] local slots (int16 when D <= 32767)
     labels: np.ndarray
     mask: np.ndarray
     drug_budget: int = struct.field(pytree_node=False)
@@ -108,6 +116,9 @@ class MoleculeTables:
     mol_ecnt: np.ndarray  # [D_total] int32 exact edge counts
     feat: np.ndarray  # [sum_n_q/r_node, r_node*F]
     edge_packed: np.ndarray  # [sum_e_q/r_edge, r_edge*8] int32 — see above
+    # [num_drugs] 1/sqrt(max(outer degree, 1)) — lets the trainer derive
+    # outer GCN edge weights on device instead of shipping them per step
+    inv_sqrt_deg: np.ndarray | None = None
 
 
 @struct.dataclass
@@ -467,6 +478,11 @@ class HierarchicalSampler:
             # bit-identical to post-hoc truncation (np.unique order == the
             # prefix order) and roughly halves sampling cost at config-#4
             # scale. Dropped counts still feed the truncation counters.
+            # COUNTER SEMANTICS: once the budget is exhausted the frontier
+            # empties and later hops are never expanded, so n_sampled /
+            # trunc_nodes_dropped are LOWER BOUNDS relative to a full
+            # expansion — don't compare truncation stats across versions
+            # that expanded every hop before truncating.
             keep = min(len(new), budget - total)
             dropped += len(new) - keep
             new = new[:keep]
@@ -681,6 +697,7 @@ class HierarchicalSampler:
             # instead of a stride-8 column read (a [EC,8] transpose that
             # cost ~8 ms/step at config-#4 scale when the unpacked columns
             # materialized for the SpMM kernel).
+            inv_sqrt_deg=self._inv_sqrt_deg,
             edge_packed=self._tbl_packed.reshape(-1, self.r_edge, 8)
             .transpose(0, 2, 1)
             .reshape(-1, 8 * self.r_edge),
@@ -705,8 +722,9 @@ class HierarchicalSampler:
             out[: len(x)] = x
             return out
 
-        outer_src_p = pad(su.astype(np.int32), oe_cap, 0)
-        osperm, ossorted = src_sort_arrays(outer_src_p)
+        # int16 slot ids + device-derived weight/perm/sorted: see the
+        # CompactBatch field comments (H2D minimization)
+        idt = np.int16 if D <= np.iinfo(np.int16).max else np.int32
         if off is not None:
             # block b's first slot (for block edge ranges on device); blocks
             # past the packed extent map to n_loc -> empty edge ranges
@@ -724,12 +742,12 @@ class HierarchicalSampler:
             n_real=np.int32(len(nodes)),
             pack_off=pack_off,
             block_slot0=block_slot0,
-            outer_src=outer_src_p,
-            outer_dst=pad(sv.astype(np.int32), oe_cap, D),
-            outer_weight=pad(w, oe_cap, 0.0),
-            outer_src_perm=osperm,
-            outer_src_sorted=ossorted,
-            pairs=pairs_local,
+            outer_src=pad(su.astype(idt), oe_cap, 0),
+            outer_dst=pad(sv.astype(idt), oe_cap, D),
+            outer_weight=None,
+            outer_src_perm=None,
+            outer_src_sorted=None,
+            pairs=pairs_local.astype(idt),
             labels=labels,
             mask=valid,
             drug_budget=D,

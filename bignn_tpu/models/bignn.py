@@ -178,7 +178,16 @@ class BiGNN:
         permutation *gather* with a gather-only VJP — no TPU scatter on
         either pass (the "no device scatter" layout contract, DESIGN.md §1).
         A zeros+scatter fallback covers callers whose buckets don't cover
-        every drug (none in-tree)."""
+        every drug (none in-tree).
+
+        PRECONDITION of the fast path: the concatenated ``graph_index`` must
+        be duplicate-free (a true permutation of ``range(num_drugs)``). The
+        guard only checks the total row count; a bucketing that
+        double-assigns one drug while missing another would pass it and
+        ``permutation_scatter_rows`` (an argsort of a non-permutation) would
+        silently mis-place rows. In-tree bucketing (sparse/bucketing.py)
+        partitions the drug set, so the precondition holds for every caller;
+        tests/test_models_parity.py exercises a uniqueness check."""
         from bignn_tpu.ops.gather import permutation_scatter_rows
 
         _, inner_dim = self._inner_stack()

@@ -30,10 +30,20 @@ from bignn_tpu.parallel.halo import dist_outer_forward, p2_overlap_forward
 from bignn_tpu.parallel.partition import OuterPartitionPlan
 
 
-def _check_vma() -> bool:
+def step_check_vma() -> bool:
     """shard_map replication proof: on except under the interpret backend
-    (see the comment at the first call site)."""
+    (see the comment at the first call site).
+
+    BUILD-TIME CAPTURE: step builders call this when the shard_map is
+    CONSTRUCTED, not when the step runs. A step built outside
+    ``backend_scope('pallas_interpret')`` but executed inside it (or vice
+    versa) keeps the build-time decision — pass ``check_vma`` explicitly to
+    the builder to override."""
     return get_backend(None) != "pallas_interpret"
+
+
+# backward-compat alias (train/trainer.py imported the private name in r2)
+_check_vma = step_check_vma
 
 
 def make_p2_train_step(
@@ -43,8 +53,14 @@ def make_p2_train_step(
     num_drugs: int,
     neg_ratio: int = 1,
     overlap: bool = False,
+    check_vma: bool | None = None,
 ) -> Callable:
     """Build the jit'd dp x graph train step.
+
+    ``check_vma``: shard_map replication-proof toggle; None (default)
+    resolves from the ACTIVE backend at build time via step_check_vma() —
+    build inside the same backend_scope you'll run under, or pass it
+    explicitly.
 
     Closure signature:
       step(params, opt_state, key, pos_pairs, pos_mask,
@@ -94,7 +110,7 @@ def make_p2_train_step(
     sharded_loss = jax.shard_map(
         shard_loss,
         mesh=mesh,
-        check_vma=_check_vma(),
+        check_vma=step_check_vma() if check_vma is None else check_vma,
         in_specs=(
             P(),            # params (replicated)
             P("dp", None),  # pairs
@@ -136,9 +152,11 @@ def make_p2_score_fn(
     model: BiGNN,
     mesh: Mesh,
     overlap: bool = False,
+    check_vma: bool | None = None,
 ) -> Callable:
     """Distributed scorer for evaluation: (params, pairs, inner_batch,
-    esrc, edst, ew, sidx) -> logits for dp-sharded global pairs."""
+    esrc, edst, ew, sidx) -> logits for dp-sharded global pairs.
+    ``check_vma``: see make_p2_train_step (build-time capture)."""
 
     def shard_score(params, pairs, inner_batch, esrc, edst, ew, sidx):
         if overlap:
@@ -164,7 +182,7 @@ def make_p2_score_fn(
     return jax.jit(jax.shard_map(
         shard_score,
         mesh=mesh,
-        check_vma=_check_vma(),
+        check_vma=step_check_vma() if check_vma is None else check_vma,
         in_specs=(P(), P("dp", None), P("graph"),
                   P("graph"), P("graph"), P("graph"), P("graph")),
         out_specs=P("dp"),

@@ -44,9 +44,13 @@ from bignn_tpu.models.loss import bce_with_logits_loss
 
 def _is_mlp(d: dict) -> bool:
     """An MLP param dict: layer_i -> {"w": ..., "b": ...} Dense leaves.
-    (The model's conv stacks also key by layer_i, but their values are conv
-    param dicts with nested/non-Dense entries, so the leaf check filters
-    them out.)"""
+
+    Structure alone cannot distinguish an MLP from a GCN conv stack (a GCN
+    layer's params are exactly {"w", "b"} too), so the walk below only
+    consults this under an ``'mlp'`` key — the model stores every true MLP
+    (GIN layer MLPs, the pair scorer) there, while conv stacks hang directly
+    off ``'inner'``/``'outer'``. Conv stacks therefore always get the
+    column-parallel conv treatment, never Megatron row/col pairing."""
     return (
         isinstance(d, dict)
         and bool(d)
@@ -82,11 +86,12 @@ def tp_param_specs(params: dict, tp: int) -> Any:
             for i, k in enumerate(keys)
         }
 
-    def walk(node):
-        if _is_mlp(node):
+    def walk(node, key=""):
+        if key == "mlp" and _is_mlp(node):
             return mlp_specs(node)
         return {
-            k: (walk(v) if isinstance(v, dict) else leaf_spec(k, v, col=True))
+            k: (walk(v, k) if isinstance(v, dict)
+                else leaf_spec(k, v, col=True))
             for k, v in node.items()
         }
 

@@ -26,7 +26,7 @@ from bignn_tpu.data.hierarchical import (
 from bignn_tpu.data.sampler import EdgeMinibatchSampler, sample_negative_pairs
 from bignn_tpu.data.schema import DDIDataset, DeviceData
 from bignn_tpu.models.bignn import BiGNN
-from bignn_tpu.parallel.step import _check_vma as _step_check_vma
+from bignn_tpu.parallel.step import step_check_vma as _step_check_vma
 from bignn_tpu.models.loss import bce_with_logits_loss
 from bignn_tpu.sparse.formats import OuterGraph, PaddedGraphBatch
 from bignn_tpu.train.metrics import average_precision, roc_auc
@@ -257,6 +257,7 @@ class MinibatchTrainer:
         mesh=None,
         prefetch_workers: int = 2,
         dispatch_chunk: int = 1,
+        device_sample: bool = False,
     ):
         """``resident=True`` (default) uploads the per-molecule tables to the
         device once and ships only index-sized batches per step (CompactBatch
@@ -336,7 +337,25 @@ class MinibatchTrainer:
         self._full_outer_cached = None
         self._exact_fns = None
         self._chunk_step = None
+        self._device_chunk_fn = None
+        self._dev_sample_jit = None
         self.dispatch_chunk = int(dispatch_chunk)
+        self.device_sample = bool(device_sample)
+        if device_sample:
+            # fully device-resident sampling: the epoch is a device-only
+            # scan (data/device_sampler.py) — per-step host work and H2D
+            # drop to zero, so sustained == the device scan ceiling.
+            if mesh is not None:
+                raise ValueError(
+                    "device_sample currently composes with single-device "
+                    "training only (dp uses the host prefetch path)")
+            if not resident:
+                raise ValueError("device_sample requires resident tables")
+            from bignn_tpu.data.device_sampler import DeviceSampler
+
+            self.dsampler = DeviceSampler(self.sampler)
+            self._dev_consts = jax.tree.map(
+                jnp.asarray, self.dsampler.constants())
         if mesh is None:
             self._train_step = jax.jit(self._step)
             self._score_batch = jax.jit(self._score)
@@ -594,17 +613,45 @@ class MinibatchTrainer:
                 edge_src_sorted=getattr(hb, "edge_src_sorted", None),
             )
         emb = self.model.encode_inner(params, pb)
-        og = OuterGraph(
-            edge_src=hb.outer_src,
-            edge_dst=hb.outer_dst,
-            edge_weight=hb.outer_weight,
-            num_nodes=hb.drug_budget,
+        emb = self.model.propagate_outer(
+            params, emb, self._derive_outer(hb, tables))
+        return self.model.score_pairs(
+            params, emb, hb.pairs.astype(jnp.int32))
+
+    def _derive_outer(self, hb, tables=None) -> OuterGraph:
+        """Outer subgraph from the batch, deriving on device what the compact
+        path no longer ships (H2D minimization — CompactBatch docstring):
+        GCN edge weights from the resident inv_sqrt_deg table
+        (invdeg[src]*invdeg[dst], matching the host's global-degree weights)
+        and the src-sort permutation via stable argsort (identical to the
+        host's np.argsort(kind='stable'), sparse/formats.src_sort_arrays)."""
+        osrc = hb.outer_src.astype(jnp.int32)
+        odst = hb.outer_dst.astype(jnp.int32)
+        D = hb.drug_budget
+        if getattr(hb, "outer_weight", None) is None:
+            gw = jnp.take(
+                tables.inv_sqrt_deg, hb.nodes.astype(jnp.int32), mode="clip")
+            w = jnp.where(
+                odst < D,
+                jnp.take(gw, jnp.minimum(osrc, D - 1))
+                * jnp.take(gw, jnp.minimum(odst, D - 1)),
+                0.0,
+            )
+            operm = jnp.argsort(osrc, stable=True).astype(jnp.int32)
+            osorted = jnp.take(osrc, operm)
+        else:
+            w = hb.outer_weight
+            operm = getattr(hb, "outer_src_perm", None)
+            osorted = getattr(hb, "outer_src_sorted", None)
+        return OuterGraph(
+            edge_src=osrc,
+            edge_dst=odst,
+            edge_weight=w,
+            num_nodes=D,
             edge_cap=hb.outer_edge_cap,
-            edge_src_perm=getattr(hb, "outer_src_perm", None),
-            edge_src_sorted=getattr(hb, "outer_src_sorted", None),
+            edge_src_perm=operm,
+            edge_src_sorted=osorted,
         )
-        emb = self.model.propagate_outer(params, emb, og)
-        return self.model.score_pairs(params, emb, hb.pairs)
 
     def _loss(self, params, hb, tables=None):
         logits = self._forward(params, hb, tables)
@@ -719,6 +766,64 @@ class MinibatchTrainer:
 
             self._chunk_step = jax.jit(chunk)
         return self._chunk_step(params, opt_state, hbs, self.tables)
+
+    def train_chunk_device(self, params, opt_state, epoch, step0):
+        """K optimizer steps with ON-DEVICE sampling in one dispatch: a
+        jitted lax.scan whose body samples batch (epoch, step0+k) via
+        DeviceSampler (pure function of (seed, epoch, step) — deterministic
+        and resume-exact like the host path) and applies one update. Zero
+        per-step host work or H2D. Returns (params, opt_state, losses[K],
+        stats) with stats summed over the chunk (device scalars)."""
+        if self._device_chunk_fn is None:
+            K = max(1, self.dispatch_chunk)
+
+            def chunk(params, opt_state, epoch, step0, tables, consts):
+                def body(carry, i):
+                    p, o = carry
+                    cb, stats = self.dsampler.sample(
+                        consts, self.dsampler.key_at(epoch, i))
+                    p, o, loss = self._step(p, o, cb, tables)
+                    return (p, o), (loss, stats)
+
+                (params, opt_state), (losses, stats) = jax.lax.scan(
+                    body, (params, opt_state), step0 + jnp.arange(K))
+                return params, opt_state, losses, jax.tree.map(
+                    jnp.sum, stats)
+
+            self._device_chunk_fn = jax.jit(chunk)
+        return self._device_chunk_fn(
+            params, opt_state, epoch, step0, self.tables, self._dev_consts)
+
+    def _fit_epoch_device(self, params, opt_state, epoch, n_steps):
+        """One epoch over the device-sampling scan; losses and truncation
+        stats stay on device until the epoch ends (no per-chunk D2H)."""
+        K = max(1, self.dispatch_chunk)
+        loss_chunks, stat_chunks = [], []
+        step = 0
+        while step + K <= n_steps:
+            params, opt_state, ls, st = self.train_chunk_device(
+                params, opt_state, epoch, step)
+            loss_chunks.append(ls)
+            stat_chunks.append(st)
+            step += K
+        # short tail: single-step chunks would recompile; fold the tail into
+        # per-step jit calls through the same sampler
+        if step < n_steps and self._dev_sample_jit is None:
+            self._dev_sample_jit = jax.jit(self.dsampler.sample)
+        for i in range(step, n_steps):
+            cb, st = self._dev_sample_jit(
+                self._dev_consts, self.dsampler.key_at(epoch, i))
+            params, opt_state, loss = self._train_step(
+                params, opt_state, cb, self.tables)
+            loss_chunks.append(loss[None])
+            stat_chunks.append(st)
+        losses = jnp.concatenate(loss_chunks) if loss_chunks else jnp.zeros(0)
+        stats = jax.tree.map(
+            lambda *xs: int(np.sum([np.asarray(x) for x in xs])),
+            *stat_chunks) if stat_chunks else {}
+        for k, v in stats.items():
+            self.sampler.truncation[k] = self.sampler.truncation.get(k, 0) + v
+        return params, opt_state, losses
 
     def _dp_scan_body(self, params, opt_state, hb, tables):
         loss, grads = jax.value_and_grad(self._dp_sharded_loss)(
@@ -882,23 +987,29 @@ class MinibatchTrainer:
             self.sampler.reseed(epoch)
             t0 = time.perf_counter()
             losses = []
-            # concurrent prefetched sampling overlaps device compute; each
-            # step's batch is a pure function of (seed, epoch, step), so the
-            # trajectory is deterministic and resume-exact regardless of
-            # worker count (data/prefetch.py, sampler.sample_compact_at)
-            draws = ParallelPrefetcher(
-                lambda i, _e=epoch: self._draw_host(at=(_e, i)),
-                n_steps, workers=self.prefetch_workers)
-            K = max(1, self.dispatch_chunk)
-            pending = []
-            for hb in draws:
-                pending.append(hb)
-                if len(pending) == K:
+            if self.device_sample:
+                params, opt_state, ls = self._fit_epoch_device(
+                    params, opt_state, epoch, n_steps)
+                losses = [ls] if ls.shape[0] else []
+            else:
+                # concurrent prefetched sampling overlaps device compute;
+                # each step's batch is a pure function of (seed, epoch,
+                # step), so the trajectory is deterministic and resume-exact
+                # regardless of worker count (data/prefetch.py,
+                # sampler.sample_compact_at)
+                draws = ParallelPrefetcher(
+                    lambda i, _e=epoch: self._draw_host(at=(_e, i)),
+                    n_steps, workers=self.prefetch_workers)
+                K = max(1, self.dispatch_chunk)
+                pending = []
+                for hb in draws:
+                    pending.append(hb)
+                    if len(pending) == K:
+                        params, opt_state, losses = self._flush(
+                            params, opt_state, pending, losses)
+                if pending:
                     params, opt_state, losses = self._flush(
                         params, opt_state, pending, losses)
-            if pending:
-                params, opt_state, losses = self._flush(
-                    params, opt_state, pending, losses)
             rec = {
                 "epoch": epoch,
                 "loss": float(jnp.mean(jnp.stack(losses))),

@@ -174,18 +174,48 @@ def main():
         np.asarray(losses)
         best = min(best, (time.perf_counter() - t0) / n_scan)
 
+    # device-sampling pass: the WHOLE pipeline (pair draw, L-hop fanout
+    # expansion, dedup, packing, outer subgraph) runs inside the scan
+    # (data/device_sampler.py) — zero per-step host work or H2D. This is
+    # what MinibatchTrainer(device_sample=True).fit() sustains.
+    tr_dev = MinibatchTrainer(
+        model, ds,
+        TrainConfig(lr=1e-3, epochs=1, batch_size=args.batch),
+        fanouts=fanouts, max_drugs=args.max_drugs,
+        device_sample=True, dispatch_chunk=args.dispatch_chunk,
+    )
+    pd_, od_ = tr_dev.init()
+    # compile + warm
+    pd_, od_, ls, _ = tr_dev.train_chunk_device(pd_, od_, 9, 0)
+    _ = float(np.asarray(ls)[-1])
+    n_dev = max(args.steps, 2 * args.dispatch_chunk)
+    best_dev = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        step = 0
+        while step < n_dev:
+            pd_, od_, ls, _ = tr_dev.train_chunk_device(pd_, od_, rep, step)
+            step += args.dispatch_chunk
+        _ = float(np.asarray(ls)[-1])
+        best_dev = min(best_dev, (time.perf_counter() - t0) / step)
+
     print(json.dumps({
         "metric": "config4_edges_per_s_per_chip",
         "host_sample_ms": round(host_ms, 1),
         "device_step_ms": round(dev_ms, 1),
         "steady_state_step_ms": round(steady * 1e3, 1),
         "scan_step_ms": round(best * 1e3, 1),
+        "device_sample_step_ms": round(best_dev * 1e3, 1),
         "edges_per_step": edges_per_step,
-        # sustained prefetched-training rate (steady pass above); scan_step
-        # is the pure device ceiling once the ~25ms tunnel dispatch cost is
-        # amortized — reported for the roofline accounting in DESIGN.md
-        "value": round(edges_per_step / steady, 1),
+        # value: the best sustained end-to-end training rate — the
+        # device-sampling scan when it wins (it should: zero per-step host
+        # work), else the prefetched host path. scan_step is the
+        # model-compute-only ceiling (presampled batches) for the roofline
+        # accounting in DESIGN.md.
+        "value": round(edges_per_step / min(steady, best_dev), 1),
+        "host_path_edges_per_s": round(edges_per_step / steady, 1),
         "device_ceiling_edges_per_s": round(edges_per_step / best, 1),
+        "sustained_over_ceiling": round(best / min(steady, best_dev), 3),
         "unit": "edges/s/chip",
     }), flush=True)
 

@@ -63,15 +63,11 @@ def main():
           params, cb, tb, name="grad fwd")
 
     from bignn_tpu.sparse.formats import OuterGraph
-    def outer_fn(i, p, emb, cb):
-        og = OuterGraph(edge_src=cb.outer_src, edge_dst=cb.outer_dst,
-                        edge_weight=cb.outer_weight, num_nodes=cb.drug_budget,
-                        edge_cap=cb.outer_edge_cap,
-                        edge_src_perm=cb.outer_src_perm,
-                        edge_src_sorted=cb.outer_src_sorted)
+    def outer_fn(i, p, emb, cb, tb):
+        og = tr._derive_outer(cb, tb)
         return tr.model.propagate_outer(p, emb + i, og)
     emb = jax.jit(lambda p, pb: tr.model.encode_inner(p, pb))(params, pb)
-    timed(outer_fn, params, emb, cb, name="outer")
+    timed(outer_fn, params, emb, cb, tb, name="outer")
     timed(lambda i, p, cb, tb: tr._step(p, opt_state, vary(i, cb), tb)[2],
           params, cb, tb, name="step")
 

@@ -117,16 +117,12 @@ def main():
     inner_j = jax.jit(inner)
     emb = inner_j(params, pb)
 
-    def outer(params, emb, cb):
-        og = OuterGraph(
-            edge_src=cb.outer_src, edge_dst=cb.outer_dst,
-            edge_weight=cb.outer_weight, num_nodes=cb.drug_budget,
-            edge_cap=cb.outer_edge_cap,
-        )
+    def outer(params, emb, cb, tb):
+        og = tr._derive_outer(cb, tb)
         return tr.model.propagate_outer(params, emb, og)
 
     outer_j = jax.jit(outer)
-    emb2 = outer_j(params, emb, cb)
+    emb2 = outer_j(params, emb, cb, tb)
 
     score_j = jax.jit(lambda params, emb2, cb: tr.model.score_pairs(params, emb2, cb.pairs))
     fwd_j = jax.jit(tr._forward)

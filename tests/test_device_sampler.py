@@ -1,0 +1,135 @@
+"""Device-resident sampler (data/device_sampler.py): structural invariants
+of the emitted CompactBatch, determinism of the (seed, epoch, step)-keyed
+draws, membership correctness of the sampled outer subgraph, and end-to-end
+training through MinibatchTrainer(device_sample=True)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bignn_tpu.data import make_synthetic_ddi
+from bignn_tpu.data.device_sampler import DeviceSampler
+from bignn_tpu.data.hierarchical import HierarchicalSampler
+from bignn_tpu.models import BiGNN, BiGNNConfig
+from bignn_tpu.train import MinibatchTrainer, TrainConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = make_synthetic_ddi(num_drugs=80, feat_dim=8, avg_degree=8.0,
+                            min_atoms=4, max_atoms=14, seed=3)
+    host = HierarchicalSampler(ds, batch_size=16, neg_ratio=1,
+                               fanouts=(4, 3), seed=0, calibrate_caps=4)
+    dev = DeviceSampler(host)
+    consts = jax.tree.map(jnp.asarray, dev.constants())
+    sample = jax.jit(dev.sample)
+    return ds, host, dev, consts, sample
+
+
+def _draw(dev, consts, sample, epoch, step):
+    cb, stats = sample(consts, dev.key_at(epoch, step))
+    return jax.tree.map(np.asarray, cb), jax.tree.map(np.asarray, stats)
+
+
+def test_structural_invariants(setup):
+    ds, host, dev, consts, sample = setup
+    qn = np.diff(host._mol_qptr).astype(np.int64)
+    for step in range(4):
+        cb, stats = _draw(dev, consts, sample, 0, step)
+        n = int(cb.n_real)
+        assert 0 < n <= dev.D
+        nodes = cb.nodes[:n]
+        # sampled drugs are unique, real ids
+        assert len(np.unique(nodes)) == n
+        assert nodes.min() >= 0 and nodes.max() < ds.num_drugs
+        # packing invariants: offsets non-decreasing r_node multiples, no
+        # molecule straddles a 128-row block, extent fits node_cap
+        off = cb.pack_off[:n].astype(np.int64)
+        sizes = qn[nodes]
+        assert np.all(np.diff(off) >= 0)
+        assert np.all(off % dev.r_node == 0)
+        assert np.all(off % 128 + sizes <= 128)
+        assert np.all(off + sizes <= dev.NC)
+        # disjoint row ranges
+        assert np.all(off[1:] >= off[:-1] + sizes[:-1])
+        # block_slot0: first slot of each 128-row block
+        blk = off // 128
+        ref = np.searchsorted(blk, np.arange(dev.NC // 128 + 1), side="left")
+        np.testing.assert_array_equal(cb.block_slot0, ref)
+        # outer subgraph: dst-sorted, endpoints live, each non-loop edge is
+        # a REAL train edge (membership in the undirected train adjacency)
+        od = cb.outer_dst.astype(np.int64)
+        live = od < dev.D
+        assert np.all(np.diff(od) >= 0)
+        osrc = cb.outer_src.astype(np.int64)[live]
+        odst = od[live]
+        assert osrc.max() < n and odst.max() < n
+        gs, gd = nodes[osrc], nodes[odst]
+        train = ds.split_edges("train")
+        eset = set(map(tuple, np.concatenate([train, train[:, ::-1]])))
+        nonloop = gs != gd
+        for a, b in zip(gs[nonloop], gd[nonloop]):
+            assert (int(a), int(b)) in eset
+        # every live slot has exactly one self-loop
+        loops = osrc[~nonloop]
+        np.testing.assert_array_equal(np.sort(loops), np.arange(n))
+        # pairs: masked entries only reference live slots
+        m = cb.mask > 0
+        if m.any():
+            assert cb.pairs[m].max() < n
+        assert stats["batches_sampled"] == 1
+
+
+def test_determinism_and_variation(setup):
+    _, _, dev, consts, sample = setup
+    a, _ = _draw(dev, consts, sample, 1, 5)
+    b, _ = _draw(dev, consts, sample, 1, 5)
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(la, lb)
+    c, _ = _draw(dev, consts, sample, 1, 6)
+    assert any(
+        not np.array_equal(la, lc)
+        for la, lc in zip(jax.tree.leaves(a), jax.tree.leaves(c))
+    )
+
+
+def test_expansion_consumes_device_batch(setup):
+    """The emitted CompactBatch flows through the trainer's resident
+    expansion + forward, and the loss is finite."""
+    ds, host, dev, consts, sample = setup
+    model = BiGNN(BiGNNConfig.full_bignn(feat_dim=ds.feat_dim, dim=16,
+                                         heads=2))
+    tr = MinibatchTrainer(model, ds, TrainConfig(lr=1e-3, epochs=1,
+                                                 batch_size=16),
+                          fanouts=(4, 3), calibrate_caps=4)
+    params, opt_state = tr.init()
+    cb, _ = jax.jit(dev.sample)(consts, dev.key_at(0, 0))
+    params, opt_state, loss = tr._train_step(params, opt_state, cb, tr.tables)
+    assert np.isfinite(float(loss))
+
+
+def test_device_fit_trains_and_is_deterministic():
+    ds = make_synthetic_ddi(num_drugs=60, feat_dim=8, avg_degree=6.0,
+                            min_atoms=4, max_atoms=10, seed=1)
+    model = BiGNN(BiGNNConfig(feat_dim=8, inner_layers=("gin:16",),
+                              outer_layers=("gcn:16:identity",)))
+
+    def run():
+        tr = MinibatchTrainer(
+            model, ds, TrainConfig(lr=3e-3, epochs=3, batch_size=16, seed=0),
+            fanouts=(4,), calibrate_caps=2, device_sample=True,
+            dispatch_chunk=2,
+        )
+        return tr.fit(steps_per_epoch=5)
+
+    p1, r1 = run()
+    p2, r2 = run()
+    losses = [r["loss"] for r in r1["history"]]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # same (seed, epoch, step) trajectory => identical runs
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # truncation counters surfaced per epoch
+    assert "batches_sampled" in r1["history"][0]

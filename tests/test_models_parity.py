@@ -155,3 +155,13 @@ def test_full_forward_parity(config):
     )
     ref = bignn_forward_ref(model, params, b.batches, b.graph_index, outer, pairs)
     np.testing.assert_allclose(logits, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_bucketing_graph_index_is_permutation():
+    """embed_drugs' scatter-free fast path requires the concatenated bucket
+    graph_index to be a duplicate-free permutation of range(num_drugs) — its
+    row-count guard alone cannot catch a double-assigned + missing drug
+    (models/bignn.py embed_drugs precondition)."""
+    b, _, _ = _tiny_dataset()
+    cat = np.concatenate([np.asarray(i) for i in b.graph_index])
+    np.testing.assert_array_equal(np.sort(cat), np.arange(len(cat)))

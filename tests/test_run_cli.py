@@ -70,8 +70,9 @@ def test_run_p2_mode(tmp_path):
 
     model = BiGNN(dc.replace(cfg.model, feat_dim=ds.feat_dim,
                              inner_layers=("gin:16",), outer_layers=("gat:16:2",)))
-    result = _run_p2(model, ds, cfg, MetricLogger(stdout=False))
+    best_params, result = _run_p2(model, ds, cfg, MetricLogger(stdout=False))
     assert np.isfinite(result["final_loss"])
+    assert best_params is not None  # test metrics come from best params
 
 
 def test_run_cli_dp_mode(tmp_path):

@@ -49,6 +49,21 @@ def test_tp_param_specs_megatron_pairing(setup):
     jax.tree.map(lambda x, s: None, params, specs)
 
 
+def test_tp_param_specs_gcn_stack_not_mlp():
+    """A GCN conv stack ({layer_i: {w, b}}) is structurally identical to an
+    MLP but must get the column-parallel conv treatment, never Megatron
+    row/col pairing — _is_mlp only applies under an 'mlp' key."""
+    model = BiGNN(BiGNNConfig(feat_dim=8, inner_layers=("gcn:16", "gcn:16"),
+                              outer_layers=("gcn:16:identity",)))
+    params = model.init(jax.random.key(0))
+    specs = tp_param_specs(params, tp=4)
+    for stack in (specs["inner"], specs["outer"]):
+        for layer in stack.values():
+            assert layer["w"] == P(None, "tp")  # all column-parallel
+            assert layer["b"] == P("tp")
+    jax.tree.map(lambda x, s: None, params, specs)
+
+
 @pytest.mark.parametrize("dp,tp", [(1, 8), (2, 4)])
 def test_tp_matches_single_device(setup, dp, tp):
     ds, model, buckets, gidx, outer = setup
