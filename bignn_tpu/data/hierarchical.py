@@ -163,6 +163,7 @@ class HierarchicalSampler:
         max_drugs: int | None = None,
         calibrate_caps: int = 8,
         quantize: bool = True,
+        superrows: tuple[int, int] | None = None,
     ):
         """``max_drugs`` caps the per-batch drug budget (and with it every
         derived cap); beyond it the BFS node list is truncated — seeds come
@@ -261,8 +262,13 @@ class HierarchicalSampler:
         max_atoms = max(m.num_nodes for m in ds.molecules)
         self.block_local = max_atoms <= 128
         self.quantized = bool(quantize) and self.block_local
-        self.r_node = 4 if self.quantized else 1
-        self.r_edge = 32 if self.quantized else 1
+        # superrow granularity (MoleculeTables doc): wider superrows gather
+        # faster (fewer rows, less per-row latency) but pad more; (4, 32)
+        # measured best at config-#4 scale on v5e (r3: (8, 64) gathers ~15%
+        # faster but the padded caps grow ~10-25%, a net loss)
+        r_n, r_e = superrows if superrows is not None else (4, 32)
+        self.r_node = r_n if self.quantized else 1
+        self.r_edge = r_e if self.quantized else 1
 
         def _quantize_ptr(ptr, r):
             cnt = np.diff(ptr)

@@ -80,14 +80,26 @@ def dist_gcn_apply(conv: GCNConv, params, h_local, src, dst, weight, send_idx,
 
 def dist_gin_apply(conv: GINConv, params, h_local, src, dst, weight, send_idx,
                    axis_name: str = "graph"):
-    """GIN sends RAW rows (its transform happens after aggregation), so the
-    a2a depends only on a row gather and there is no independent same-layer
-    work to hide it behind — boundary-first doesn't apply; layer-0 GIN still
-    overlaps with the interior inner aggregation (p2_overlap_forward)."""
+    """GIN sends RAW rows (its transform happens after aggregation), so
+    boundary-first transform overlap doesn't apply — but aggregation is
+    LINEAR, so the edge list splits by source locality (VERDICT r2 item 6):
+    local-src edges (src < B, rows already resident) aggregate while the
+    all-to-all is in flight; the remote-src contribution is added when the
+    halo arrives. Masking rides the SpMM weight vector (0/1), which
+    preserves the dst-sort the sorted-segment kernel needs; values equal the
+    unsplit aggregation up to fp reassociation (the equality test runs at
+    allclose tolerance, tests/test_p2_overlap.py)."""
     del weight
     b = h_local.shape[0]
-    ext = halo_exchange(h_local, send_idx, axis_name)
-    agg = spmm_sorted_coo(ext, src, dst, None, b)
+    sendbuf = jnp.take(h_local, send_idx, axis=0, mode="clip")  # [G, S, d]
+    recv = jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
+    w_loc = (src < b).astype(h_local.dtype)
+    # local-src aggregation — no dependency on recv, overlaps the exchange
+    agg = spmm_sorted_coo(h_local, jnp.minimum(src, b - 1), dst, w_loc, b)
+    g, s, f = recv.shape
+    halo = recv.reshape(g * s, f)
+    agg = agg + spmm_sorted_coo(
+        halo, jnp.clip(src - b, 0, g * s - 1), dst, 1.0 - w_loc, b)
     from bignn_tpu.models.modules import MLP
 
     hidden = conv.hidden_dim or conv.out_dim

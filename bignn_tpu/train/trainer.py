@@ -339,6 +339,7 @@ class MinibatchTrainer:
         self._chunk_step = None
         self._device_chunk_fn = None
         self._dev_sample_jit = None
+        self._metrics_jit = None
         self.dispatch_chunk = int(dispatch_chunk)
         self.device_sample = bool(device_sample)
         if device_sample:
@@ -870,7 +871,14 @@ class MinibatchTrainer:
         propagation — every molecule encoded, one outer pass over the whole
         train graph — so reported metrics are estimator-free; matches the
         full-graph Trainer allclose (tests/test_exact_eval.py). Negatives are
-        drawn identically in both modes, so the two are comparable."""
+        drawn identically in both modes, so the two are comparable.
+
+        Scores STAY ON DEVICE end to end (VERDICT r2 item 8): per-chunk
+        score arrays are concatenated on device and fed to the exact
+        tie-aware device metrics (train/metrics.py roc_auc_jnp /
+        average_precision_jnp, == host sklearn-style values,
+        tests/test_metrics.py); only the two metric scalars cross to host —
+        at config-#4 eval sizes the per-epoch score funnel disappears."""
         pos = self.ds.split_edges(split).astype(np.int64)
         rng = np.random.default_rng(neg_seed)
         corrupt_right = rng.random(len(pos)) < 0.5
@@ -882,23 +890,29 @@ class MinibatchTrainer:
         pairs = np.concatenate([pos, neg])
         labels = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
         if exact:
-            scores = np.asarray(self.score_exact(params, pairs), np.float64)
+            parts = self._score_exact_parts(params, pairs)
         else:
             cap = self.sampler.pair_cap
             make = (self.sampler.compact_from_pairs if self.resident
                     else self.sampler.batch_from_pairs)
-            scores = np.zeros(len(pairs), np.float64)
+            parts = []
             for start in range(0, len(pairs), cap):
                 chunk = pairs[start : start + cap]
                 lab = labels[start : start + cap].astype(np.float32)
                 hb = make(chunk, lab)
-                s = np.asarray(self._score_batch(
-                    params, jax.tree.map(jnp.asarray, hb), self.tables))
-                scores[start : start + len(chunk)] = s[: len(chunk)]
-        return {
-            f"{split}_auc": roc_auc(labels, scores),
-            f"{split}_ap": average_precision(labels, scores),
-        }
+                s = self._score_batch(
+                    params, jax.tree.map(jnp.asarray, hb), self.tables)
+                parts.append(s[: len(chunk)])
+        if self._metrics_jit is None:
+            from bignn_tpu.train.metrics import (
+                average_precision_jnp, roc_auc_jnp)
+
+            self._metrics_jit = jax.jit(lambda l, s: (
+                roc_auc_jnp(l, s), average_precision_jnp(l, s)))
+        auc, ap = self._metrics_jit(
+            jnp.asarray(labels, jnp.float32),
+            jnp.concatenate([p.astype(jnp.float32) for p in parts]))
+        return {f"{split}_auc": float(auc), f"{split}_ap": float(ap)}
 
     # -- exact (full-propagation) evaluation ------------------------------
     def _full_outer(self):
@@ -955,15 +969,24 @@ class MinibatchTrainer:
         emb = jnp.asarray(np.concatenate(parts))
         return prop(params, emb, self._full_outer())
 
-    def score_exact(self, params, pairs: np.ndarray, chunk: int = 65536):
-        """Exact logits for [P, 2] global drug-id pairs via full propagation."""
+    def _score_exact_parts(self, params, pairs: np.ndarray,
+                           chunk: int = 65536) -> list:
+        """Per-chunk DEVICE score arrays for [P, 2] global drug-id pairs via
+        full propagation (no host funnel — see evaluate)."""
         _, _, score = self._exact()
         emb = self.embed_all_exact(params)
-        out = np.zeros(len(pairs), np.float32)
-        for s in range(0, len(pairs), chunk):
-            p = jnp.asarray(pairs[s : s + chunk], jnp.int32)
-            out[s : s + len(p)] = np.asarray(score(params, emb, p))
-        return out
+        return [
+            score(params, emb, jnp.asarray(pairs[s : s + chunk], jnp.int32))
+            for s in range(0, len(pairs), chunk)
+        ]
+
+    def score_exact(self, params, pairs: np.ndarray, chunk: int = 65536):
+        """Exact logits for [P, 2] global drug-id pairs via full propagation
+        (host np view of _score_exact_parts, for external callers/tests)."""
+        return np.concatenate([
+            np.asarray(p, np.float32)
+            for p in self._score_exact_parts(params, pairs, chunk)
+        ])
 
     def fit(self, params=None, opt_state=None, steps_per_epoch=None, log_fn=None,
             ckpt=None, checkpoint_every: int = 1):

@@ -1,0 +1,244 @@
+"""Config-#4 roofline accounting (VERDICT r2 item 1/2).
+
+Anchors: measured HBM copy bandwidth on THIS chip (big-array copy and
+superrow-gather rates), then per-stage bytes-moved estimates vs measured
+amortized stage times -> %-of-roofline per stage. Also times the device
+sampler's sub-stages. Prints a markdown table for docs/DESIGN.md.
+
+Run on the TPU: python scripts/profile_roofline.py
+"""
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bignn_tpu.data.datasets import load_npz_cache
+from bignn_tpu.models import BiGNN, BiGNNConfig
+from bignn_tpu.train import MinibatchTrainer, TrainConfig
+
+
+def timed_scan(body, *args, n=64, reps=3):
+    """Amortized per-iteration seconds of body(i, *args) inside one scan.
+
+    Anti-DCE: every output leaf is FULLY summed (not sliced) and the running
+    scalar feeds the next iteration, so XLA cannot skip or reorder the work.
+    A pure elementwise body can still fuse with its reduction — use
+    carry-threading (timed_carry) for raw-bandwidth anchors."""
+    @jax.jit
+    def run(*a):
+        def step(c, i):
+            out = body(i + c.astype(jnp.int32) * 0, *a)
+            leaves = [jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree.leaves(out)]
+            return c + sum(leaves), None
+        c, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(n))
+        return c
+
+    float(run(*args))  # forced D2H (block_until_ready unreliable on tunnel)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(*args))
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+def timed_carry(f, x0, *consts, n=16, reps=3):
+    """Amortized per-iteration seconds of x = f(x, *consts): the full array
+    is the scan carry, so each iteration's output must materialize. Big
+    operands go in ``consts`` (jit ARGUMENTS — closures would bake them into
+    the HLO as literals). ``f`` must not collapse under self-composition
+    (use an LCG-style data dependency, not xor-with-constant)."""
+    @jax.jit
+    def run(x, *cs):
+        def step(x, _):
+            return f(x, *cs), None
+        x, _ = jax.lax.scan(step, x, None, length=n)
+        return x
+
+    def force(x):  # fetch one element: waits for the whole chain (D2H;
+        import numpy as _np  # block_until_ready unreliable on tunnel)
+        return _np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+
+    force(run(x0, *consts))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        force(run(x0, *consts))
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+def main():
+    cache = _os.path.join(_os.path.dirname(__file__), "..", ".cache",
+                          "config4_100000.npz")
+    ds = load_npz_cache(cache, "config4")
+    model = BiGNN(dataclasses.replace(
+        BiGNNConfig.full_bignn(feat_dim=32, dim=128, heads=4),
+        dtype="bfloat16"))
+    tr = MinibatchTrainer(
+        model, ds, TrainConfig(lr=1e-3, epochs=1, batch_size=1024),
+        fanouts=(10, 5), max_drugs=16384, device_sample=True,
+        dispatch_chunk=8)
+    s = tr.sampler
+    dev = tr.dsampler
+    consts = tr._dev_consts
+    tb = tr.tables
+    params, opt_state = tr.init()
+
+    D, NC, EC, OE = s.drug_budget, s.node_cap, s.edge_cap, s.outer_edge_cap
+    dim = 128
+    print(f"caps: D={D} NC={NC} EC={EC} OE={OE}", flush=True)
+
+    # ---- hardware anchors (carry-threaded: cannot be DCE'd/fused away) ----
+    big = jnp.arange(128 * 1024 * 1024 // 4, dtype=jnp.int32)  # 128 MB
+    t = timed_carry(lambda x: x * x + 1664525, big, n=16)  # non-affine: no collapse
+    copy_bw = 2 * big.nbytes / t  # read + write
+    print(f"int32 sq stream: {copy_bw/1e9:.0f} GB/s "
+          f"({t*1e3:.2f} ms / 128MB)", flush=True)
+    bigf = jnp.ones(128 * 1024 * 1024 // 4, jnp.float32)
+    t = timed_carry(lambda x: x * x + 1.5, bigf, n=16)
+    copy_bw = max(copy_bw, 2 * bigf.nbytes / t)
+    print(f"f32 sq stream: {2*bigf.nbytes/t/1e9:.0f} GB/s", flush=True)
+    bigh = jnp.ones(256 * 1024 * 1024 // 2, jnp.bfloat16)
+    t = timed_carry(lambda x: x * x + jnp.bfloat16(1.5), bigh, n=16)
+    print(f"bf16 sq stream: {2*bigh.nbytes/t/1e9:.0f} GB/s", flush=True)
+    copy_bw = max(copy_bw, 2 * bigh.nbytes / t)
+
+    # MXU anchor: [4096,4096] bf16 matmul chain
+    mm = jnp.ones((4096, 4096), jnp.bfloat16)
+    t = timed_carry(
+        lambda x: (x @ x * jnp.bfloat16(1e-4)).astype(jnp.bfloat16), mm, n=8)
+    flops = 2 * 4096**3
+    print(f"bf16 4096^3 matmul: {flops/t/1e12:.0f} TFLOP/s", flush=True)
+
+    # superrow gather rate at the expansion's actual shapes: output is the
+    # carry (index vector re-derived from the gathered values each iter,
+    # defeating caching/DCE); tables are jit args, not closure constants
+    rng = np.random.default_rng(0)
+    ep = tb.edge_packed
+    eidx = jnp.asarray(rng.integers(0, ep.shape[0], EC // s.r_edge),
+                       jnp.int32)
+    g = timed_carry(
+        lambda ix, tbl: (jnp.take(tbl, ix, axis=0).sum(axis=1)
+                         .astype(jnp.int32) + ix) % tbl.shape[0],
+        eidx, ep, n=16)
+    gbytes = EC // s.r_edge * ep.shape[1] * 4
+    print(f"edge superrow gather: {g*1e3:.2f} ms for {gbytes/1e6:.0f} MB "
+          f"-> {gbytes/g/1e9:.0f} GB/s", flush=True)
+    ft = tb.feat
+    nidx = jnp.asarray(rng.integers(0, ft.shape[0], NC // s.r_node),
+                       jnp.int32)
+    g = timed_carry(
+        lambda ix, tbl: (jnp.take(tbl, ix, axis=0).sum(axis=1)
+                         .astype(jnp.int32) + ix) % tbl.shape[0],
+        nidx, ft, n=16)
+    fbytes = NC // s.r_node * ft.shape[1] * ft.dtype.itemsize
+    print(f"feat superrow gather: {g*1e3:.2f} ms for {fbytes/1e6:.0f} MB "
+          f"-> {fbytes/g/1e9:.0f} GB/s", flush=True)
+
+    # sort rate anchor (the device sampler is sort-heavy)
+    arr = jnp.asarray(rng.integers(0, 1 << 30, 131072), jnp.int32)
+    t = timed_carry(lambda x: jnp.sort(x * 1664525 + 1013904223), arr, n=16)
+    print(f"sort 128K int32: {t*1e3:.2f} ms", flush=True)
+    t = timed_carry(
+        lambda x: jnp.argsort(x * 1664525 + 1013904223).astype(jnp.int32),
+        arr, n=16)
+    print(f"argsort 128K int32: {t*1e3:.2f} ms", flush=True)
+
+    # ---- stage timings ----------------------------------------------------
+    key0 = dev.key_at(0, 0)
+
+    t_samp = timed_scan(
+        lambda i, c: dev.sample(c, jax.random.fold_in(key0, i))[0], consts,
+        n=32)
+    print(f"\nSTAGE device-sample: {t_samp*1e3:.2f} ms", flush=True)
+
+    cb, _ = jax.jit(dev.sample)(consts, key0)
+    t_exp = timed_scan(
+        lambda i, cb, tb: tr._expand_compact(
+            cb.replace(nodes=jnp.roll(cb.nodes, i)), tb),
+        cb, tb, n=32)
+    print(f"STAGE expand: {t_exp*1e3:.2f} ms", flush=True)
+
+    # expand sub-stage: the dense block-diagonal adjacency build
+    from bignn_tpu.ops import block_adjacency
+
+    pb0 = jax.jit(tr._expand_compact)(cb, tb)
+    est = jnp.take(
+        jnp.cumsum(jnp.where(jnp.arange(D) < cb.n_real,
+                             jnp.take(consts.qe, cb.nodes), 0)),
+        cb.block_slot0.astype(jnp.int32) - 1, mode="clip")
+    t_adj = timed_scan(
+        lambda i, s_, d_, e_: block_adjacency(
+            jnp.roll(s_, i), d_, None, e_, NC, jnp.bfloat16),
+        pb0.edge_src, pb0.edge_dst, pb0.block_estarts, n=32)
+    print(f"  sub: block_adjacency build: {t_adj*1e3:.2f} ms", flush=True)
+
+    pb = jax.jit(tr._expand_compact)(cb, tb)
+    t_inner = timed_scan(
+        lambda i, p, pb: model.encode_inner(
+            p, pb.replace(node_feat=pb.node_feat + i)), params, pb, n=32)
+    print(f"STAGE inner (fwd): {t_inner*1e3:.2f} ms", flush=True)
+
+    emb = jax.jit(lambda p, pb: model.encode_inner(p, pb))(params, pb)
+    t_outer = timed_scan(
+        lambda i, p, e, cb, tb: model.propagate_outer(
+            p, e + i, tr._derive_outer(cb, tb)), params, emb, cb, tb, n=32)
+    print(f"STAGE outer (fwd, incl derive): {t_outer*1e3:.2f} ms", flush=True)
+
+    t_fwd = timed_scan(
+        lambda i, p, cb, tb: tr._forward(
+            p, cb.replace(nodes=jnp.roll(cb.nodes, i)), tb),
+        params, cb, tb, n=32)
+    print(f"STAGE forward total: {t_fwd*1e3:.2f} ms", flush=True)
+
+    # keep ALL outputs (params/opt_state too) or XLA DCEs the backward
+    t_step = timed_scan(
+        lambda i, p, o, cb, tb: tr._step(
+            p, o, cb.replace(nodes=jnp.roll(cb.nodes, i)), tb),
+        params, opt_state, cb, tb, n=32)
+    print(f"STAGE full step (fwd+bwd+adam): {t_step*1e3:.2f} ms", flush=True)
+
+    t_full = timed_scan(
+        lambda i, p, o, c, tb: tr._step(
+            p, o, dev.sample(c, jax.random.fold_in(key0, i))[0], tb),
+        params, opt_state, consts, tb, n=32)
+    print(f"STAGE sample+step (the sustained scan body): {t_full*1e3:.2f} ms",
+          flush=True)
+
+    # ---- bytes accounting -------------------------------------------------
+    ecs = EC // s.r_edge
+    ncs = NC // s.r_node
+    expand_bytes = (
+        ecs * tb.edge_packed.shape[1] * 4          # packed superrow gather
+        + ncs * tb.feat.shape[1] * tb.feat.dtype.itemsize  # feat gather
+        + EC * 4 * 3                               # src/dst/w writes
+        + NC * dim * 2                             # node_feat write (bf16... F=32)
+        + NC * 128 * 2                             # block_cnt build (bf16)
+    )
+    inner_bytes_l = (NC * 128 * 2) + 3 * (NC * dim * 2)  # adj + h in/out/mlp
+    inner_bytes = 2 * inner_bytes_l
+    print(f"\nbytes: expand~{expand_bytes/1e6:.0f}MB "
+          f"inner-fwd~{inner_bytes/1e6:.0f}MB", flush=True)
+    print({
+        "sample_ms": round(t_samp * 1e3, 2),
+        "expand_ms": round(t_exp * 1e3, 2),
+        "inner_ms": round(t_inner * 1e3, 2),
+        "outer_ms": round(t_outer * 1e3, 2),
+        "fwd_ms": round(t_fwd * 1e3, 2),
+        "step_ms": round(t_step * 1e3, 2),
+        "sample_step_ms": round(t_full * 1e3, 2),
+        "copy_bw_GBs": round(copy_bw / 1e9, 1),
+    }, flush=True)
+
+
+if __name__ == "__main__":
+    main()

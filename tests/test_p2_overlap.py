@@ -21,15 +21,24 @@ from bignn_tpu.parallel import (
 
 
 @pytest.mark.parametrize(
-    "outer_spec",
-    [("gcn:16:identity",), ("gat:16:2",), ("gin:16",), ("gcn:16", "gcn:16")],
+    "outer_spec,opt",
+    [(("gcn:16:identity",), "adam"), (("gat:16:2",), "adam"),
+     (("gin:16",), "adam"), (("gcn:16", "gcn:16"), "adam"),
+     # multi-layer GIN outer: deeper layers take the local/remote-split
+     # aggregation overlap inside dist_gin_apply (VERDICT r2 item 6). The
+     # split reassociates the segment sums, so near-zero gradient elements
+     # can flip sign; Adam's first-step normalization turns that into an
+     # O(lr) param diff, so these specs compare under SGD (update linear in
+     # the gradient — the honest value-parity check).
+     (("gin:16", "gin:16"), "sgd"),
+     (("gin:16", "gat:16:2", "gin:16"), "sgd")],
 )
-def test_overlap_matches_plain(outer_spec):
+def test_overlap_matches_plain(outer_spec, opt):
     ds = make_synthetic_ddi(num_drugs=40, feat_dim=8, avg_degree=6.0,
                             min_atoms=4, max_atoms=10, seed=0)
     model = BiGNN(BiGNNConfig(feat_dim=8, inner_layers=("gin:16",),
                               outer_layers=outer_spec))
-    optimizer = optax.adam(1e-3)
+    optimizer = optax.adam(1e-3) if opt == "adam" else optax.sgd(1e-2)
     params = model.init(jax.random.key(0))
     opt_state = optimizer.init(params)
 

@@ -38,6 +38,27 @@ def test_real_sample_trains_end_to_end():
     assert np.isfinite(result["test_auc"]) and result["test_auc"] > 0.0
 
 
+def test_real_sample_reaches_auc():
+    """The REAL accuracy gate (VERDICT r2 item 4 / BASELINE.json:5 AUC
+    axis): config2-real — the full BI-GNN on real molecular graphs + real
+    documented interactions — must LEARN, not just run: best val AUC and
+    test AUC both >= 0.70 at the config's fixed seed (tuned in r3; seeds 0
+    and 1 both clear 0.70/0.72 — see config.py note)."""
+    from bignn_tpu.config import get_config
+
+    cfg = get_config("config2-real")
+    ds = load_dataset(cfg.dataset)
+    data = prepare_device_data(ds)
+    import dataclasses
+
+    model = BiGNN(dataclasses.replace(cfg.model, feat_dim=ds.feat_dim))
+    tr = Trainer(model, data, cfg.train)
+    params, result = tr.fit()
+    aucs = [r["val_auc"] for r in result["history"] if "val_auc" in r]
+    assert max(aucs) >= 0.70, max(aucs)
+    assert result["test_auc"] >= 0.70, result["test_auc"]
+
+
 def _fixture_graphs_feat(nx, rng, n_graphs=6):
     graphs = {}
     for i in range(n_graphs):
