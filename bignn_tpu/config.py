@@ -25,6 +25,10 @@ class ExperimentConfig:
     fanouts: tuple[int, ...] = (10,)
     max_drugs: int | None = None  # minibatch drug budget cap
     dispatch_chunk: int = 1  # K scanned steps per dispatch (minibatch mode)
+    # device-resident sampling (data/device_sampler.py): the epoch runs as
+    # a device-only scan — fastest single-device minibatch mode; requires
+    # the block-local quantized layout and no dp mesh
+    device_sample: bool = False
     max_buckets: int = 4
     # distribution (used by run.py when the mesh has >1 device)
     dp: int | None = None
@@ -91,6 +95,7 @@ def get_config(name: str, **overrides) -> ExperimentConfig:
             fanouts=(10, 5),
             max_drugs=16384,
             dispatch_chunk=8,
+            device_sample=True,  # 85.8M vs 67M edges/s/chip (DESIGN §2.6)
         ),
         # 5: edge-partitioned outer graph across a pod slice (halo a2a)
         "config5": ExperimentConfig(

@@ -32,6 +32,12 @@ def main(argv=None) -> dict:
                         "modes (p2 mode derives dp from devices/graph-shards)")
     p.add_argument("--overlap", action="store_true",
                    help="p2 mode: overlap halo exchange with inner aggregation")
+    p.add_argument("--device-sample", dest="device_sample", default=None,
+                   action="store_true",
+                   help="minibatch mode: sample on device (epoch = one "
+                        "device scan; DESIGN.md §2.6). Default from config.")
+    p.add_argument("--no-device-sample", dest="device_sample",
+                   action="store_false")
     p.add_argument("--profile", default=None, help="jax profiler trace dir")
     p.add_argument("--backend", default=None,
                    choices=["auto", "xla", "pallas", "pallas_interpret"])
@@ -103,9 +109,16 @@ def main(argv=None) -> dict:
         fit_kw.update(ckpt=ckpt, checkpoint_every=args.checkpoint_every)
     with profile_trace(args.profile):
         if cfg.mode == "minibatch":
+            dev_sample = (cfg.device_sample if args.device_sample is None
+                          else args.device_sample)
+            if dp_mesh is not None and dev_sample:
+                # device sampling is single-device today (DESIGN.md §2.6);
+                # dp keeps the host prefetch path
+                dev_sample = False
             trainer = MinibatchTrainer(model, ds, cfg.train, fanouts=cfg.fanouts,
                                        max_drugs=cfg.max_drugs,
                                        dispatch_chunk=cfg.dispatch_chunk,
+                                       device_sample=dev_sample,
                                        mesh=dp_mesh)
             params, result = trainer.fit(**fit_kw)
         elif cfg.mode == "p2":

@@ -172,13 +172,9 @@ def main():
     from bignn_tpu.ops import block_adjacency
 
     pb0 = jax.jit(tr._expand_compact)(cb, tb)
-    est = jnp.take(
-        jnp.cumsum(jnp.where(jnp.arange(D) < cb.n_real,
-                             jnp.take(consts.qe, cb.nodes), 0)),
-        cb.block_slot0.astype(jnp.int32) - 1, mode="clip")
     t_adj = timed_scan(
         lambda i, s_, d_, e_: block_adjacency(
-            jnp.roll(s_, i), d_, None, e_, NC, jnp.bfloat16),
+            s_ + i * 0, d_, None, e_, NC, jnp.bfloat16),
         pb0.edge_src, pb0.edge_dst, pb0.block_estarts, n=32)
     print(f"  sub: block_adjacency build: {t_adj*1e3:.2f} ms", flush=True)
 

@@ -91,3 +91,17 @@ def test_run_cli_dp_mode(tmp_path):
         "--dp", "2", "--run-dir", str(tmp_path / "mb"),
     ])
     assert np.isfinite(res["test_auc"])
+
+
+def test_run_cli_device_sample(tmp_path):
+    """--device-sample routes minibatch training through the device-resident
+    sampler (data/device_sampler.py); config #4 defaults to it in the
+    registry (config.py device_sample=True)."""
+    from bignn_tpu.config import get_config
+
+    assert get_config("config4").device_sample
+    res = main([
+        "--config", "config3", "--epochs", "1", "--batch-size", "64",
+        "--device-sample", "--run-dir", str(tmp_path / "devs"),
+    ])
+    assert np.isfinite(res["test_auc"])
