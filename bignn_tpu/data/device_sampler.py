@@ -96,8 +96,11 @@ class DeviceSampler:
             caps.append(min(self.D, caps[-1] * f))
         self.fcaps = caps
         # undirected dedup cap: su/sv = both directions + D self loops must
-        # fit the host-calibrated outer_edge_cap exactly
-        self.U = max((self.OE - self.D) // 2, 1)
+        # fit the host-calibrated outer_edge_cap exactly; also bounded by
+        # the total sampled-edge buffer (on small graphs the calibrated OE
+        # can exceed every edge the hops could possibly produce)
+        e_total = sum(self.fcaps[h] * f for h, f in enumerate(self.fanouts))
+        self.U = max(min((self.OE - self.D) // 2, e_total), 1)
         self.idt = jnp.int16 if self.D <= np.iinfo(np.int16).max else jnp.int32
 
         qn = np.diff(s._mol_qptr).astype(np.int32)

@@ -111,10 +111,6 @@ def main(argv=None) -> dict:
         if cfg.mode == "minibatch":
             dev_sample = (cfg.device_sample if args.device_sample is None
                           else args.device_sample)
-            if dp_mesh is not None and dev_sample:
-                # device sampling is single-device today (DESIGN.md §2.6);
-                # dp keeps the host prefetch path
-                dev_sample = False
             trainer = MinibatchTrainer(model, ds, cfg.train, fanouts=cfg.fanouts,
                                        max_drugs=cfg.max_drugs,
                                        dispatch_chunk=cfg.dispatch_chunk,

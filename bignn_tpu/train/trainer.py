@@ -338,25 +338,27 @@ class MinibatchTrainer:
         self._exact_fns = None
         self._chunk_step = None
         self._device_chunk_fn = None
-        self._dev_sample_jit = None
         self._metrics_jit = None
         self.dispatch_chunk = int(dispatch_chunk)
         self.device_sample = bool(device_sample)
         if device_sample:
             # fully device-resident sampling: the epoch is a device-only
             # scan (data/device_sampler.py) — per-step host work and H2D
-            # drop to zero, so sustained == the device scan ceiling.
-            if mesh is not None:
-                raise ValueError(
-                    "device_sample currently composes with single-device "
-                    "training only (dp uses the host prefetch path)")
+            # drop to zero, so sustained == the device scan ceiling. Under
+            # a dp mesh, each shard draws its own batch INSIDE shard_map
+            # (key = (seed, epoch, step*dp + shard)), matching the host
+            # path's batch numbering — zero host sampling at pod scale.
             if not resident:
                 raise ValueError("device_sample requires resident tables")
             from bignn_tpu.data.device_sampler import DeviceSampler
 
             self.dsampler = DeviceSampler(self.sampler)
-            self._dev_consts = jax.tree.map(
-                jnp.asarray, self.dsampler.constants())
+            consts = self.dsampler.constants()
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                consts = jax.device_put(consts, NamedSharding(mesh, P()))
+            self._dev_consts = jax.tree.map(jnp.asarray, consts)
         if mesh is None:
             self._train_step = jax.jit(self._step)
             self._score_batch = jax.jit(self._score)
@@ -768,22 +770,66 @@ class MinibatchTrainer:
             self._chunk_step = jax.jit(chunk)
         return self._chunk_step(params, opt_state, hbs, self.tables)
 
-    def train_chunk_device(self, params, opt_state, epoch, step0):
-        """K optimizer steps with ON-DEVICE sampling in one dispatch: a
-        jitted lax.scan whose body samples batch (epoch, step0+k) via
+    def _dp_device_loss(self):
+        """shard_map loss with PER-SHARD on-device sampling: shard s of
+        step i draws batch (epoch, i*dp + s) — the host dp path's exact
+        batch numbering — and the (sum, count) psum makes the update equal
+        a single-device step on the union batch
+        (tests/test_dp_device_sample.py)."""
+        from jax.sharding import PartitionSpec as P
+
+        from bignn_tpu.models.loss import bce_with_logits_elementwise
+
+        dev = self.dsampler
+
+        def shard_loss(params, epoch, step, tables, consts):
+            s = jax.lax.axis_index("dp")
+            cb, stats = dev.sample(
+                consts, dev.key_at(epoch, step * self.dp + s))
+            logits = self._forward(params, cb, tables)
+            per = bce_with_logits_elementwise(logits, cb.labels)
+            num = jax.lax.psum(jnp.sum(per * cb.mask), "dp")
+            den = jax.lax.psum(jnp.sum(cb.mask), "dp")
+            stats = jax.tree.map(lambda x: jax.lax.psum(x, "dp"), stats)
+            return num / jnp.maximum(den, 1.0), stats
+
+        return jax.shard_map(
+            shard_loss,
+            mesh=self.mesh,
+            check_vma=_step_check_vma(),
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+        )
+
+    def train_chunk_device(self, params, opt_state, epoch, step0,
+                           k: int | None = None):
+        """``k`` optimizer steps with ON-DEVICE sampling in one dispatch: a
+        jitted lax.scan whose body samples batch (epoch, step0+j) via
         DeviceSampler (pure function of (seed, epoch, step) — deterministic
-        and resume-exact like the host path) and applies one update. Zero
-        per-step host work or H2D. Returns (params, opt_state, losses[K],
-        stats) with stats summed over the chunk (device scalars)."""
+        and resume-exact like the host path) and applies one update; under
+        a dp mesh each shard samples its own batch (see _dp_device_loss).
+        Zero per-step host work or H2D. Returns (params, opt_state,
+        losses[k], stats) with stats summed over the chunk (device
+        scalars). One compilation per distinct ``k`` (the epoch tail)."""
+        K = int(k if k is not None else max(1, self.dispatch_chunk))
         if self._device_chunk_fn is None:
-            K = max(1, self.dispatch_chunk)
+            self._device_chunk_fn = {}
+        if K not in self._device_chunk_fn:
+            dp_loss = self._dp_device_loss() if self.mesh is not None else None
 
             def chunk(params, opt_state, epoch, step0, tables, consts):
                 def body(carry, i):
                     p, o = carry
-                    cb, stats = self.dsampler.sample(
-                        consts, self.dsampler.key_at(epoch, i))
-                    p, o, loss = self._step(p, o, cb, tables)
+                    if dp_loss is None:
+                        cb, stats = self.dsampler.sample(
+                            consts, self.dsampler.key_at(epoch, i))
+                        p, o, loss = self._step(p, o, cb, tables)
+                    else:
+                        (loss, stats), grads = jax.value_and_grad(
+                            dp_loss, has_aux=True)(
+                                p, epoch, i, tables, consts)
+                        updates, o = self.optimizer.update(grads, o, p)
+                        p = optax.apply_updates(p, updates)
                     return (p, o), (loss, stats)
 
                 (params, opt_state), (losses, stats) = jax.lax.scan(
@@ -791,8 +837,8 @@ class MinibatchTrainer:
                 return params, opt_state, losses, jax.tree.map(
                     jnp.sum, stats)
 
-            self._device_chunk_fn = jax.jit(chunk)
-        return self._device_chunk_fn(
+            self._device_chunk_fn[K] = jax.jit(chunk)
+        return self._device_chunk_fn[K](
             params, opt_state, epoch, step0, self.tables, self._dev_consts)
 
     def _fit_epoch_device(self, params, opt_state, epoch, n_steps):
@@ -807,16 +853,10 @@ class MinibatchTrainer:
             loss_chunks.append(ls)
             stat_chunks.append(st)
             step += K
-        # short tail: single-step chunks would recompile; fold the tail into
-        # per-step jit calls through the same sampler
-        if step < n_steps and self._dev_sample_jit is None:
-            self._dev_sample_jit = jax.jit(self.dsampler.sample)
-        for i in range(step, n_steps):
-            cb, st = self._dev_sample_jit(
-                self._dev_consts, self.dsampler.key_at(epoch, i))
-            params, opt_state, loss = self._train_step(
-                params, opt_state, cb, self.tables)
-            loss_chunks.append(loss[None])
+        if step < n_steps:  # epoch tail: one shorter chunk (own compile)
+            params, opt_state, ls, st = self.train_chunk_device(
+                params, opt_state, epoch, step, k=n_steps - step)
+            loss_chunks.append(ls)
             stat_chunks.append(st)
         losses = jnp.concatenate(loss_chunks) if loss_chunks else jnp.zeros(0)
         stats = jax.tree.map(
