@@ -134,8 +134,11 @@ def main():
         params, opt_state, _ = tr._flush(params, opt_state, list(warm), [])
     losses, pending = [], []
     t0 = time.perf_counter()
+    # fit()'s actual defaults (VERDICT r2 weak #7): the sustained number
+    # must measure what MinibatchTrainer.fit really does
     for hb in ParallelPrefetcher(
-        lambda i: tr._draw_host(at=(0, i)), n_steady, workers=3
+        lambda i: tr._draw_host(at=(0, i)), n_steady,
+        workers=tr.prefetch_workers
     ):
         pending.append(hb)
         if len(pending) == tr.dispatch_chunk:
