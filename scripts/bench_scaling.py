@@ -31,6 +31,10 @@ def main():
     p.add_argument("--avg-degree", type=float, default=60.0)
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--overlap", action="store_true")
+    p.add_argument("--dp-device-sample", action="store_true",
+                   help="scale the P1 axis instead: dp-wide meshes with "
+                        "per-shard DEVICE-RESIDENT sampling (weak scaling; "
+                        "each shard draws its own batch inside shard_map)")
     args = p.parse_args()
 
     if args.fake_cpu:
@@ -68,6 +72,52 @@ def main():
     rng = np.random.default_rng(0)
 
     widths = [g for g in (1, 2, 4, 8, 16) if g <= n_dev]
+
+    if args.dp_device_sample:
+        # P1 weak scaling with zero-host sampling: each dp shard draws its
+        # own batch inside shard_map (train_chunk_device); per-chip rate
+        # should stay flat as dp grows (only the gradient all-reduce rides
+        # the interconnect).
+        from bignn_tpu.train import MinibatchTrainer, TrainConfig
+
+        base_rate = None
+        results = []
+        for dpw in widths:
+            mesh = (make_mesh(dp=dpw, graph=1, devices=jax.devices()[:dpw])
+                    if dpw > 1 else None)
+            tr = MinibatchTrainer(
+                model, ds, TrainConfig(lr=1e-3, epochs=1,
+                                       batch_size=args.batch),
+                fanouts=(10, 5), max_drugs=8192, mesh=mesh,
+                device_sample=True, dispatch_chunk=4)
+            s = tr.sampler
+            e_per_batch = int(
+                np.diff(s._tbl_eptr).mean() * s.drug_budget
+                * len(model.config.inner_layers)
+                + s.outer_edge_cap * len(model.config.outer_layers))
+            pp, oo = tr.init()
+            pp, oo, ls, _ = tr.train_chunk_device(pp, oo, 9, 0)  # compile
+            _ = float(np.asarray(ls)[-1])
+            t0 = time.perf_counter()
+            step = 0
+            while step < args.steps:
+                pp, oo, ls, _ = tr.train_chunk_device(pp, oo, 0, step)
+                step += 4
+            _ = float(np.asarray(ls)[-1])
+            dt = (time.perf_counter() - t0) / step
+            rate = e_per_batch * dpw / dt
+            per_chip = rate / dpw
+            if base_rate is None:
+                base_rate = per_chip
+            results.append({
+                "dp": dpw,
+                "edges_per_s": round(rate, 1),
+                "edges_per_s_per_chip": round(per_chip, 1),
+                "efficiency_vs_1": round(per_chip / base_rate, 3),
+            })
+            print(json.dumps(results[-1]), flush=True)
+        print(json.dumps({"summary": results}))
+        return
     base_rate = None
     results = []
     for g in widths:

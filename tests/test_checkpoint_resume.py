@@ -76,6 +76,34 @@ def test_minibatch_kill_and_resume_matches_uninterrupted(ds, tmp_path):
     np.testing.assert_allclose(res["test_auc"], ref["test_auc"], atol=1e-6)
 
 
+def test_device_sample_kill_and_resume_matches_uninterrupted(ds, tmp_path):
+    """Device-resident sampling keeps exact resume: its draws are a pure
+    function of (seed, epoch, step) via fold_in (data/device_sampler.py),
+    so the resumed trajectory is identical."""
+    model = BiGNN(BiGNNConfig.config1(feat_dim=ds.feat_dim))
+    cfg3 = TrainConfig(epochs=3, batch_size=16, seed=5)
+
+    def make(cfg):
+        return MinibatchTrainer(model, ds, cfg, fanouts=(6,),
+                                calibrate_caps=2, device_sample=True,
+                                dispatch_chunk=2)
+
+    _, ref = make(cfg3).fit(steps_per_epoch=3)
+
+    ck = CheckpointManager(str(tmp_path / "devs"))
+    make(dataclasses.replace(cfg3, epochs=1)).fit(steps_per_epoch=3, ckpt=ck)
+    ck.close()
+
+    ck2 = CheckpointManager(str(tmp_path / "devs"))
+    _, res = make(cfg3).fit(steps_per_epoch=3, ckpt=ck2)
+    ck2.close()
+
+    assert [r["epoch"] for r in res["history"]] == [1, 2]
+    np.testing.assert_allclose(_losses(res), _losses(ref)[1:], rtol=0,
+                               atol=1e-6)
+    np.testing.assert_allclose(res["test_auc"], ref["test_auc"], atol=1e-6)
+
+
 def test_resume_with_empty_dir_starts_fresh(ds, tmp_path):
     from bignn_tpu.data import prepare_device_data
 

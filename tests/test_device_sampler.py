@@ -109,6 +109,24 @@ def test_expansion_consumes_device_batch(setup):
     assert np.isfinite(float(loss))
 
 
+def test_device_sample_gat_inner(setup):
+    """GAT/DotAttn inner convs ride the dense-block path on quantized
+    layouts; the device-sampled batch must flow through it too."""
+    ds, host, dev, consts, sample = setup
+    model = BiGNN(BiGNNConfig(feat_dim=ds.feat_dim,
+                              inner_layers=("gat:16:2",),
+                              outer_layers=("gcn:16:identity",)))
+    tr = MinibatchTrainer(model, ds, TrainConfig(lr=1e-3, epochs=1,
+                                                 batch_size=16),
+                          fanouts=(4, 3), calibrate_caps=4,
+                          device_sample=True)
+    params, opt_state = tr.init()
+    cb, _ = jax.jit(tr.dsampler.sample)(
+        tr._dev_consts, tr.dsampler.key_at(0, 0))
+    params, opt_state, loss = tr._train_step(params, opt_state, cb, tr.tables)
+    assert np.isfinite(float(loss))
+
+
 def test_device_fit_trains_and_is_deterministic():
     ds = make_synthetic_ddi(num_drugs=60, feat_dim=8, avg_degree=6.0,
                             min_atoms=4, max_atoms=10, seed=1)
