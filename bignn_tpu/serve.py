@@ -1,0 +1,167 @@
+"""Inference / serving (production-deployment story; SURVEY.md §2.1 R3's
+eval half, promoted to a first-class surface).
+
+The BI-GNN serving workload factors cleanly on TPU:
+
+  1. OFFLINE (once per checkpoint): encode EVERY molecule through the
+     inner level + one full outer propagation -> a [num_drugs, d] embedding
+     matrix resident in HBM (exact full propagation, no sampling — the
+     same estimator-free path as MinibatchTrainer.evaluate(exact=True)).
+  2. ONLINE: scoring a (u, v) candidate pair is two embedding rows through
+     the pair scorer — a gather + tiny MXU matmul. Batched requests score
+     in fixed-size jitted chunks; ranking all partners of one drug is a
+     single [N]-wide scorer pass + device top-k.
+
+Usage (library):
+    scorer = Scorer.from_checkpoint(cfg, ckpt_dir)   # or Scorer(model, ds, params)
+    scores = scorer.score_pairs(pairs)               # [P] logits
+    ids, s = scorer.top_k(drug_id, k=20)             # best candidate partners
+
+CLI:
+    python -m bignn_tpu.serve --config config2 --ckpt runs/x/ckpt \
+        --pairs pairs.npy --out scores.npy
+    python -m bignn_tpu.serve --config config2 --ckpt runs/x/ckpt \
+        --topk 42 --k 20
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Scorer:
+    """Device-resident batch scorer over a trained BI-GNN.
+
+    ``chunk`` is the static jit batch for pair scoring; requests pad to it
+    (one compilation, any request size).
+    """
+
+    def __init__(self, model, ds, params, chunk: int = 65536):
+        from bignn_tpu.train.trainer import MinibatchTrainer, TrainConfig
+
+        self.model = model
+        self.ds = ds
+        self.params = params
+        self.chunk = int(chunk)
+        # resident expansion machinery for the exact full encode; sampler
+        # caps only shape the offline chunking, not results
+        self._tr = MinibatchTrainer(
+            model, ds, TrainConfig(epochs=0, batch_size=256), fanouts=(1,),
+            calibrate_caps=0)
+        self.embeddings = self._tr.embed_all_exact(params)  # [N, d] device
+        self._score = jax.jit(
+            lambda emb, pairs: model.score_pairs(params, emb, pairs))
+        self._rank = jax.jit(
+            lambda emb, d, k: jax.lax.top_k(
+                self._all_scores(emb, d), k), static_argnames="k")
+
+    @classmethod
+    def from_checkpoint(cls, cfg, ckpt_dir: str, chunk: int = 65536,
+                        use_best: bool = True) -> "Scorer":
+        """Restore a run's (best) params and build the scorer.
+
+        ``cfg`` is an ExperimentConfig (config.get_config); the checkpoint
+        layout is train.trainer._fit_state's (both trainers + p2 share it).
+        """
+        from bignn_tpu.data import load_dataset
+        from bignn_tpu.models import BiGNN
+        from bignn_tpu.train.checkpoint import CheckpointManager
+
+        ds = load_dataset(cfg.dataset, **cfg.dataset_kwargs)
+        model = BiGNN(dataclasses.replace(cfg.model, feat_dim=ds.feat_dim))
+        mgr = CheckpointManager(ckpt_dir)
+        state = mgr.restore()
+        mgr.close()
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        params = state["best_params" if use_best else "params"]
+        params = jax.tree.map(jnp.asarray, params)
+        return cls(model, ds, params, chunk=chunk)
+
+    # -- online scoring ---------------------------------------------------
+    def score_pairs(self, pairs: np.ndarray) -> np.ndarray:
+        """Logits for [P, 2] global drug-id pairs (any P; chunked jit)."""
+        pairs = np.asarray(pairs, np.int32)
+        out = np.empty(len(pairs), np.float32)
+        for s in range(0, len(pairs), self.chunk):
+            p = pairs[s : s + self.chunk]
+            n = len(p)
+            if n < self.chunk:  # pad to the static chunk shape
+                p = np.concatenate(
+                    [p, np.zeros((self.chunk - n, 2), np.int32)])
+            out[s : s + n] = np.asarray(
+                self._score(self.embeddings, jnp.asarray(p)))[:n]
+        return out
+
+    def _all_scores(self, emb, drug_id):
+        n = emb.shape[0]
+        pairs = jnp.stack(
+            [jnp.full(n, drug_id, jnp.int32),
+             jnp.arange(n, dtype=jnp.int32)], axis=1)
+        scores = self.model.score_pairs(self.params, emb, pairs)
+        # exclude self-interaction from rankings
+        return jnp.where(
+            jnp.arange(n) == drug_id, -jnp.inf, scores.astype(jnp.float32))
+
+    def top_k(self, drug_id: int, k: int = 20):
+        """(candidate_ids, logits) of the k best predicted partners."""
+        scores, ids = self._rank(self.embeddings, jnp.int32(drug_id), k)
+        return np.asarray(ids), np.asarray(scores)
+
+    def refresh(self, params) -> None:
+        """Swap in new params (e.g. a newer checkpoint) and re-embed."""
+        self.params = params
+        self.embeddings = self._tr.embed_all_exact(params)
+
+
+def main(argv=None):
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--ckpt", required=True, help="CheckpointManager dir")
+    p.add_argument("--pairs", default=None,
+                   help=".npy/.npz [P, 2] int drug-id pairs to score")
+    p.add_argument("--out", default=None, help="output .npy for scores")
+    p.add_argument("--topk", type=int, default=None,
+                   help="rank partners for this drug id instead")
+    p.add_argument("--k", type=int, default=20)
+    p.add_argument("--last", action="store_true",
+                   help="use last params instead of best-val params")
+    args = p.parse_args(argv)
+
+    from bignn_tpu.config import get_config
+
+    scorer = Scorer.from_checkpoint(
+        get_config(args.config), args.ckpt, use_best=not args.last)
+    if args.topk is not None:
+        ids, scores = scorer.top_k(args.topk, args.k)
+        print(json.dumps({
+            "drug": args.topk,
+            "candidates": ids.tolist(),
+            "logits": [round(float(s), 4) for s in scores],
+        }))
+        return ids, scores
+    if args.pairs is None:
+        raise SystemExit("need --pairs or --topk")
+    arr = np.load(args.pairs)
+    if hasattr(arr, "files"):  # npz
+        arr = arr[arr.files[0]]
+    scores = scorer.score_pairs(arr)
+    if args.out:
+        np.save(args.out, scores)
+    print(json.dumps({
+        "n": len(scores),
+        "mean_logit": round(float(scores.mean()), 4),
+        "out": args.out,
+    }))
+    return scores
+
+
+if __name__ == "__main__":
+    main()

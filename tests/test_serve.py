@@ -1,0 +1,75 @@
+"""Serving surface (bignn_tpu/serve.py): precomputed-embedding scorer must
+match the trainer's exact scores, top-k must rank consistently, and the
+checkpoint-loading CLI path must work end to end."""
+
+import json
+
+import numpy as np
+import pytest
+
+from bignn_tpu.data import load_dataset
+from bignn_tpu.models import BiGNN, BiGNNConfig
+from bignn_tpu.serve import Scorer, main as serve_main
+from bignn_tpu.train import MinibatchTrainer, TrainConfig
+
+
+@pytest.fixture(scope="module")
+def trained():
+    ds = load_dataset("synthetic-small", num_drugs=60, feat_dim=8,
+                      avg_degree=6.0)
+    model = BiGNN(BiGNNConfig.config1(feat_dim=8))
+    tr = MinibatchTrainer(model, ds, TrainConfig(epochs=1, batch_size=32),
+                          fanouts=(4,), calibrate_caps=2)
+    params, _ = tr.fit(steps_per_epoch=3)
+    return ds, model, tr, params
+
+
+def test_scorer_matches_exact_scores(trained):
+    ds, model, tr, params = trained
+    scorer = Scorer(model, ds, params, chunk=64)
+    rng = np.random.default_rng(0)
+    pairs = rng.integers(0, ds.num_drugs, (100, 2)).astype(np.int64)
+    s_serve = scorer.score_pairs(pairs)  # chunked (64 -> pad path too)
+    s_exact = tr.score_exact(params, pairs)
+    np.testing.assert_allclose(s_serve, s_exact, rtol=1e-5, atol=1e-5)
+
+
+def test_top_k_ranks_consistently(trained):
+    ds, model, tr, params = trained
+    scorer = Scorer(model, ds, params, chunk=64)
+    ids, scores = scorer.top_k(3, k=5)
+    assert len(ids) == 5
+    assert 3 not in ids  # self excluded
+    # the returned scores are the pair scores, descending
+    assert np.all(np.diff(scores) <= 1e-6)
+    all_pairs = np.stack([np.full(ds.num_drugs, 3),
+                          np.arange(ds.num_drugs)], axis=1)
+    full = scorer.score_pairs(all_pairs)
+    full[3] = -np.inf
+    np.testing.assert_allclose(np.sort(full)[::-1][:5], scores, rtol=1e-5)
+
+
+def test_serve_cli_from_checkpoint(tmp_path):
+    from bignn_tpu.config import get_config
+    from bignn_tpu.run import main as run_main
+
+    run_main([
+        "--config", "config1", "--epochs", "1", "--batch-size", "128",
+        "--run-dir", str(tmp_path), "--checkpoint-every", "1",
+    ])
+    pairs = np.stack([np.arange(10), (np.arange(10) * 3 + 1) % 100], axis=1)
+    np.save(tmp_path / "pairs.npy", pairs)
+    scores = serve_main([
+        "--config", "config1", "--ckpt", str(tmp_path / "ckpt"),
+        "--pairs", str(tmp_path / "pairs.npy"),
+        "--out", str(tmp_path / "scores.npy"),
+    ])
+    assert np.isfinite(scores).all() and len(scores) == 10
+    saved = np.load(tmp_path / "scores.npy")
+    np.testing.assert_array_equal(saved, scores)
+
+    ids, s = serve_main([
+        "--config", "config1", "--ckpt", str(tmp_path / "ckpt"),
+        "--topk", "7", "--k", "5",
+    ])
+    assert len(ids) == 5 and np.isfinite(s).all()
