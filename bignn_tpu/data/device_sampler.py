@@ -37,6 +37,16 @@ modes are separate-but-equivalent estimators, not bit-identical.
 Reference: the PyG/torch-cluster `NeighborSampler` host loop this replaces
 (SURVEY.md §2.1 R6) has no device-side analogue in the reference — this is
 new TPU-first scope.
+
+MEASURED DEAD END (r3) — chunk-batched sampling: drawing K steps' batches
+in one fused call (vmap of sample, and a hand-batched rewrite with axis -1
+sorts + flat [K*(N+1)] scatter tables) both LOSE to this sequential
+implementation on the attached chip: sorts amortize beautifully
+(1.5 -> 0.3 ms/row at K=8) but batching overhead swamps the win — vmapped
+B=1 measured 14.8 ms/step, hand-batched B=1 14.4, hand-batched K=8
+10.0 ms/step vs 8.4 sequential (element gathers are linear in K, and
+batched-op lowering carries per-op costs the 1D forms don't). Keep sorts
+1D and the scan sequential.
 """
 
 from __future__ import annotations
