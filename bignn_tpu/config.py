@@ -89,8 +89,17 @@ def get_config(name: str, **overrides) -> ExperimentConfig:
             name="config4",
             dataset="synthetic-large",
             dataset_kwargs=dict(),
-            model=BiGNNConfig.full_bignn(feat_dim=32, dim=128, heads=4),
-            train=TrainConfig(lr=1e-3, epochs=5, batch_size=1024),
+            # bf16 compute: the v5e-native dtype the benches measure
+            model=dataclasses.replace(
+                BiGNNConfig.full_bignn(feat_dim=32, dim=128, heads=4),
+                dtype="bfloat16"),
+            # lr 3e-4: at this scale lr 1e-3 collapses the model to
+            # constant prediction (loss -> ln 2) within ~1.5K steps
+            # (measured r3 on host AND device sampling); 3e-4 trains stably
+            # (loss 0.70 -> 0.67 over 1.6K steps, val AUC 0.61 at 2K).
+            # grad_clip=1.0 measured WORSE here (loss rising by 1K steps in
+            # both dtypes) despite being correct at small scale - left off.
+            train=TrainConfig(lr=3e-4, epochs=5, batch_size=1024),
             mode="minibatch",
             fanouts=(10, 5),
             max_drugs=16384,

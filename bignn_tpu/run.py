@@ -192,7 +192,9 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False, ckpt=None,
     )
     logger.log({"event": "partition", **{k: str(v) for k, v in plan.stats().items()}})
     inner = build_sharded_inner(ds.molecules, plan, split_boundary=overlap)
-    optimizer = optax.adam(cfg.train.lr)
+    from bignn_tpu.train.trainer import make_optimizer
+
+    optimizer = make_optimizer(cfg.train)
     params = model.init(jax.random.key(cfg.train.seed))
     opt_state = optimizer.init(params)
     if multihost:

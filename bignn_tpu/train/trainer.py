@@ -41,6 +41,22 @@ class TrainConfig:
     eval_every: int = 1  # epochs
     seed: int = 0
     weight_decay: float = 0.0
+    # global-norm gradient clip (0 = off). Verified correct at small
+    # scale (tests/CPU); note the r3 config-#4 finding: lr 1e-3 unclipped
+    # collapses the model to constant prediction within ~1.5K steps, and
+    # clip=1.0 also degraded there — the stable recipe at that scale is
+    # simply lr 3e-4 (config.py config4 note).
+    grad_clip: float = 0.0
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    """The shared optimizer stack: [clip ->] adam/adamw per TrainConfig."""
+    opt = (optax.adamw(config.lr, weight_decay=config.weight_decay)
+           if config.weight_decay else optax.adam(config.lr))
+    if config.grad_clip:
+        opt = optax.chain(
+            optax.clip_by_global_norm(config.grad_clip), opt)
+    return opt
 
 
 class Trainer:
@@ -57,11 +73,7 @@ class Trainer:
         self.model = model
         self.data = data
         self.config = config
-        self.optimizer = (
-            optax.adamw(config.lr, weight_decay=config.weight_decay)
-            if config.weight_decay
-            else optax.adam(config.lr)
-        )
+        self.optimizer = make_optimizer(config)
         # device-resident graph structures (tuples -> stable pytree structure)
         self.buckets = tuple(jax.tree.map(jnp.asarray, b) for b in data.bucketing.batches)
         self.graph_index = tuple(jnp.asarray(i) for i in data.bucketing.graph_index)
@@ -313,11 +325,7 @@ class MinibatchTrainer:
             calibrate_caps=calibrate_caps,
             quantize=block_capable,
         )
-        self.optimizer = (
-            optax.adamw(config.lr, weight_decay=config.weight_decay)
-            if config.weight_decay
-            else optax.adam(config.lr)
-        )
+        self.optimizer = make_optimizer(config)
         if resident:
             tables = self.sampler.tables()
             if model.compute_dtype == jnp.bfloat16:

@@ -69,3 +69,18 @@ def test_full_bignn_trains():
     losses = [r["loss"] for r in result["history"]]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_grad_clip_trains():
+    """TrainConfig.grad_clip wires optax.clip_by_global_norm ahead of adam
+    (train/trainer.make_optimizer) in every trainer; training still
+    converges with it on."""
+    ds = make_synthetic_ddi(num_drugs=100, feat_dim=8, avg_degree=6.0, seed=3)
+    data = prepare_device_data(ds, max_buckets=2)
+    model = BiGNN(BiGNNConfig.config1(feat_dim=8))
+    tr = Trainer(model, data, TrainConfig(lr=5e-3, epochs=8, batch_size=64,
+                                          seed=0, grad_clip=1.0))
+    params, result = tr.fit()
+    losses = [r["loss"] for r in result["history"]]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8
