@@ -26,8 +26,9 @@ class ExperimentConfig:
     max_drugs: int | None = None  # minibatch drug budget cap
     dispatch_chunk: int = 1  # K scanned steps per dispatch (minibatch mode)
     # device-resident sampling (data/device_sampler.py): the epoch runs as
-    # a device-only scan — fastest single-device minibatch mode; requires
-    # the block-local quantized layout and no dp mesh
+    # a device-only scan with zero per-step host work — the fastest
+    # minibatch mode; composes with dp (per-shard draws inside shard_map).
+    # Requires the block-local quantized layout.
     device_sample: bool = False
     max_buckets: int = 4
     # distribution (used by run.py when the mesh has >1 device)

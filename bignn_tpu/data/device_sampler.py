@@ -111,6 +111,13 @@ class DeviceSampler:
         # can exceed every edge the hops could possibly produce)
         e_total = sum(self.fcaps[h] * f for h, f in enumerate(self.fanouts))
         self.U = max(min((self.OE - self.D) // 2, e_total), 1)
+        # the canonical-pair dedup key is lo*D + hi < D*D in int32; the host
+        # sampler covers larger budgets in int64 (x64 is off on TPU)
+        if self.D > 46340:  # floor(sqrt(2^31 - 1))
+            raise ValueError(
+                f"drug_budget {self.D} overflows the int32 pair-dedup key "
+                "space (D*D >= 2^31); cap it with max_drugs <= 46340 or use "
+                "the host sampler")
         self.idt = jnp.int16 if self.D <= np.iinfo(np.int16).max else jnp.int32
 
         qn = np.diff(s._mol_qptr).astype(np.int32)

@@ -47,9 +47,10 @@ def _is_mlp(d: dict) -> bool:
 
     Structure alone cannot distinguish an MLP from a GCN conv stack (a GCN
     layer's params are exactly {"w", "b"} too), so the walk below only
-    consults this under an ``'mlp'`` key — the model stores every true MLP
-    (GIN layer MLPs, the pair scorer) there, while conv stacks hang directly
-    off ``'inner'``/``'outer'``. Conv stacks therefore always get the
+    consults this under the model's MLP-holding keys — ``'mlp'`` (GIN layer
+    MLPs, the pair scorer) and ``'gate'`` (AttentionReadout's gate MLP,
+    models/readout.py) — while conv stacks hang directly off
+    ``'inner'``/``'outer'``. Conv stacks therefore always get the
     column-parallel conv treatment, never Megatron row/col pairing."""
     return (
         isinstance(d, dict)
@@ -87,7 +88,7 @@ def tp_param_specs(params: dict, tp: int) -> Any:
         }
 
     def walk(node, key=""):
-        if key == "mlp" and _is_mlp(node):
+        if key in ("mlp", "gate") and _is_mlp(node):
             return mlp_specs(node)
         return {
             k: (walk(v, k) if isinstance(v, dict)

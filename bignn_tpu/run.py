@@ -265,6 +265,10 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False, ckpt=None,
                 replace, jax.tree.map(np.asarray, params))
             opt_state = jax.tree.map(
                 replace, jax.tree.map(np.asarray, opt_state))
+            # best params feed the mesh-wide scorer for the final test
+            # eval — they need the same re-placement
+            best["params"] = jax.tree.map(
+                replace, jax.tree.map(np.asarray, best["params"]))
     with mesh:
         for epoch in range(start_epoch, cfg.train.epochs):
             t0 = _time.perf_counter()
@@ -296,7 +300,9 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False, ckpt=None,
         # Trainer.fit / MinibatchTrainer.fit)
         final = evaluate(best["params"], "test")
     return best["params"], {
-        "history": history, "final_loss": history[-1]["loss"],
+        "history": history,
+        # resume of an already-completed run trains zero epochs
+        "final_loss": history[-1]["loss"] if history else None,
         "best_epoch": best["epoch"], **final}
 
 

@@ -53,11 +53,15 @@ class Scorer:
             model, ds, TrainConfig(epochs=0, batch_size=256), fanouts=(1,),
             calibrate_caps=0)
         self.embeddings = self._tr.embed_all_exact(params)  # [N, d] device
+        # params are jit ARGUMENTS, never closure constants: refresh() must
+        # swap them without retracing (a closure would silently keep serving
+        # the old scorer head), and constants would bake the param tree
+        # into the HLO (trainer.py avoids that for compile-size reasons too)
         self._score = jax.jit(
-            lambda emb, pairs: model.score_pairs(params, emb, pairs))
+            lambda prm, emb, pairs: model.score_pairs(prm, emb, pairs))
         self._rank = jax.jit(
-            lambda emb, d, k: jax.lax.top_k(
-                self._all_scores(emb, d), k), static_argnames="k")
+            lambda prm, emb, d, k: jax.lax.top_k(
+                self._all_scores(prm, emb, d), k), static_argnames="k")
 
     @classmethod
     def from_checkpoint(cls, cfg, ckpt_dir: str, chunk: int = 65536,
@@ -94,22 +98,23 @@ class Scorer:
                 p = np.concatenate(
                     [p, np.zeros((self.chunk - n, 2), np.int32)])
             out[s : s + n] = np.asarray(
-                self._score(self.embeddings, jnp.asarray(p)))[:n]
+                self._score(self.params, self.embeddings, jnp.asarray(p)))[:n]
         return out
 
-    def _all_scores(self, emb, drug_id):
+    def _all_scores(self, params, emb, drug_id):
         n = emb.shape[0]
         pairs = jnp.stack(
             [jnp.full(n, drug_id, jnp.int32),
              jnp.arange(n, dtype=jnp.int32)], axis=1)
-        scores = self.model.score_pairs(self.params, emb, pairs)
+        scores = self.model.score_pairs(params, emb, pairs)
         # exclude self-interaction from rankings
         return jnp.where(
             jnp.arange(n) == drug_id, -jnp.inf, scores.astype(jnp.float32))
 
     def top_k(self, drug_id: int, k: int = 20):
         """(candidate_ids, logits) of the k best predicted partners."""
-        scores, ids = self._rank(self.embeddings, jnp.int32(drug_id), k)
+        scores, ids = self._rank(
+            self.params, self.embeddings, jnp.int32(drug_id), k)
         return np.asarray(ids), np.asarray(scores)
 
     def refresh(self, params) -> None:

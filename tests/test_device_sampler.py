@@ -151,3 +151,15 @@ def test_device_fit_trains_and_is_deterministic():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # truncation counters surfaced per epoch
     assert "batches_sampled" in r1["history"][0]
+
+
+def test_budget_overflow_guard(setup):
+    """drug_budget > 46340 would overflow the int32 pair-dedup key space
+    (D*D >= 2^31); the constructor must refuse with a clear message."""
+    ds, host, *_ = setup
+    import copy
+
+    big = copy.copy(host)
+    big.drug_budget = 50_000
+    with pytest.raises(ValueError, match="overflows"):
+        DeviceSampler(big)

@@ -73,3 +73,26 @@ def test_p2_best_params_drive_test_eval():
     assert result["best_epoch"] >= 0
     aucs = [r["val_auc"] for r in result["history"] if "val_auc" in r]
     assert result["history"][result["best_epoch"]]["val_auc"] == max(aucs)
+
+
+def test_p2_resume_of_completed_run(tmp_path):
+    """Resuming a run whose checkpoint already covers every epoch must not
+    crash (r3 review findings): history is empty (final_loss None) and the
+    RESTORED best params — re-placed on the mesh — drive the test eval."""
+    cfg, ds, model = _setup(epochs=2)
+    log = MetricLogger(stdout=False)
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    p_ref, r_ref = _run_p2(model, ds, cfg, log, ckpt=ckpt, checkpoint_every=1)
+    ckpt.close()
+
+    ckpt2 = CheckpointManager(str(tmp_path / "ck"))
+    p_res, r_res = _run_p2(model, ds, cfg, log, ckpt=ckpt2,
+                           checkpoint_every=1)
+    ckpt2.close()
+    assert r_res["history"] == []
+    assert r_res["final_loss"] is None
+    # test metrics computed from the restored best params == original's
+    for k in ("test_auc", "test_ap"):
+        assert np.isclose(r_ref[k], r_res[k], atol=1e-6), (k, r_ref[k], r_res[k])
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -73,3 +73,24 @@ def test_serve_cli_from_checkpoint(tmp_path):
         "--topk", "7", "--k", "5",
     ])
     assert len(ids) == 5 and np.isfinite(s).all()
+
+
+def test_refresh_swaps_params_live(trained):
+    """refresh() must change SERVED scores (r3 review finding: the jitted
+    scorer previously closed over the construction-time params, silently
+    serving stale weights after refresh)."""
+    import jax
+
+    ds, model, tr, params = trained
+    scorer = Scorer(model, ds, params, chunk=64)
+    pairs = np.stack([np.arange(8), (np.arange(8) * 5 + 2) % ds.num_drugs], 1)
+    s1 = scorer.score_pairs(pairs)
+    ids1, top1 = scorer.top_k(2, k=4)
+    new_params = model.init(jax.random.key(999))  # different weights
+    scorer.refresh(new_params)
+    s2 = scorer.score_pairs(pairs)
+    assert not np.allclose(s1, s2)
+    np.testing.assert_allclose(
+        s2, tr.score_exact(new_params, pairs), rtol=1e-5, atol=1e-5)
+    _, top2 = scorer.top_k(2, k=4)
+    assert not np.allclose(top1, top2)

@@ -108,3 +108,18 @@ def test_tp_matches_single_device(setup, dp, tp):
     for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_tp_param_specs_attention_gate_is_mlp():
+    """AttentionReadout's gate MLP lives under a 'gate' key (not 'mlp');
+    it must still get Megatron row/col pairing (r3 review finding)."""
+    model = BiGNN(BiGNNConfig(feat_dim=8, inner_layers=("gin:32",),
+                              readout="attention:32",
+                              outer_layers=("gcn:32:identity",)))
+    params = model.init(jax.random.key(0))
+    specs = tp_param_specs(params, tp=4)
+    gate = specs["readout"]["gate"]
+    assert gate["layer_0"]["w"] == P(None, "tp")
+    assert gate["layer_0"]["b"] == P("tp")
+    assert gate["layer_1"]["w"] == P("tp", None)  # row-parallel pair
+    jax.tree.map(lambda x, s: None, params, specs)
