@@ -47,6 +47,41 @@ B=1 measured 14.8 ms/step, hand-batched B=1 14.4, hand-batched K=8
 10.0 ms/step vs 8.4 sequential (element gathers are linear in K, and
 batched-op lowering carries per-op costs the 1D forms don't). Keep sorts
 1D and the scan sequential.
+
+ROUND-4 REDESIGN (scripts/probe_sampler_prefix.py): prefix-timing the
+pipeline showed the r3 "sort-count-bound" diagnosis was distorted by a
+~0.7 ms scan-iteration floor — individual sorts cost ~0.1-0.2 ms
+incremental; the real cost sat in (a) the LAST hop's dedup machinery,
+which at budget-saturated configs (config #4: seeds+hop0 uniques = 1.7x
+the drug budget) keeps ZERO new nodes, (b) latency-bound random gathers,
+and (c) the per-step src-sort argsort the trainer re-derived per batch.
+Four changes, measured 8.4 -> ~4.5 ms/draw at config #4:
+
+1. EDGE-ONLY TRAILING HOPS: a numpy calibration at init (statistics only,
+   no RNG coupling) finds the first hop after which the drug budget is
+   always saturated with margin; later hops skip dedup/budget entirely —
+   they can only contribute outer-graph EDGES (between already-sampled
+   nodes), never nodes. At saturated configs this is bit-identical to the
+   r3 pipeline (which sorted 2x81920 elements to keep 0 nodes); hops past
+   the first edge-only hop are statically skipped (the r3 pipeline gave
+   them an all-sentinel frontier -> zero candidates anyway).
+2. CLASS PACKING WITHOUT ARGSORT: the stable rank of each molecule within
+   its size class comes from a one-hot [M, C] cumsum (ranks == stable
+   argsort ranks by construction); slot ids/offsets/locals are then built
+   with three scatters over the BFS-order arrays — no sort, and the
+   segment-compaction pass the argsort needed is gone too.
+3. FUSED OUTER BUILD + FREE SRC-SORT PERM: the dst-sort runs on the
+   composite key dst*D+src, so within each dst block edges are src-sorted;
+   because the emitted edge list is SYMMETRIC (both directions + loops),
+   the src-sorted enumeration is the pointwise mirror of the dst-sorted
+   one — edge_src_sorted[k] == outer_dst[k], and the permutation is the
+   mirror involution, recovered with two scatters from the argsort's
+   origin indices. The trainer's per-step argsort in _derive_outer
+   (~83K, previously re-run inside EVERY jitted step) disappears for
+   device-sampled batches.
+4. Destination slot ids come from one [frontier]-sized gather broadcast
+   over the fanout axis (the dst of every sampled edge IS its frontier
+   node) instead of a [sum(frontier*fanout)]-sized gather.
 """
 
 from __future__ import annotations
@@ -100,17 +135,6 @@ class DeviceSampler:
         self.r_node = int(s.r_node)
         self.T = int(len(s.train_pairs))
         self.seed = int(s.seed)
-        # per-hop frontier caps: seeds, then min(D, prev*fanout)
-        caps = [min(self.pair_cap * 2, max(self.D, 1))]
-        for f in self.fanouts:
-            caps.append(min(self.D, caps[-1] * f))
-        self.fcaps = caps
-        # undirected dedup cap: su/sv = both directions + D self loops must
-        # fit the host-calibrated outer_edge_cap exactly; also bounded by
-        # the total sampled-edge buffer (on small graphs the calibrated OE
-        # can exceed every edge the hops could possibly produce)
-        e_total = sum(self.fcaps[h] * f for h, f in enumerate(self.fanouts))
-        self.U = max(min((self.OE - self.D) // 2, e_total), 1)
         # the canonical-pair dedup key is lo*D + hi < D*D in int32; the host
         # sampler covers larger budgets in int64 (x64 is off on TPU)
         if self.D > 46340:  # floor(sqrt(2^31 - 1))
@@ -118,6 +142,30 @@ class DeviceSampler:
                 f"drug_budget {self.D} overflows the int32 pair-dedup key "
                 "space (D*D >= 2^31); cap it with max_drugs <= 46340 or use "
                 "the host sampler")
+        # per-hop frontier caps: seeds, then min(D, prev*fanout)
+        caps = [min(self.pair_cap * 2, max(self.D, 1))]
+        for f in self.fanouts:
+            caps.append(min(self.D, caps[-1] * f))
+        self.fcaps = caps
+        # edge-only trailing hops (module docstring, r4 change 1): numpy
+        # calibration finds the first hop after which the drug budget is
+        # ALWAYS saturated with margin; later hops skip dedup/budget (they
+        # can only contribute outer edges), and hops past the first
+        # edge-only hop are statically skipped (their frontier would be
+        # all-sentinel -> zero candidates in the r3 pipeline too).
+        self.n_node_hops = self._calibrate_node_hops(s)
+        self.active_hops = min(len(self.fanouts), self.n_node_hops + 1)
+        # undirected dedup cap: su/sv = both directions + D self loops must
+        # fit the host-calibrated outer_edge_cap exactly; also bounded by
+        # the total sampled-edge buffer (on small graphs the calibrated OE
+        # can exceed every edge the hops could possibly produce)
+        e_total = sum(self.fcaps[h] * self.fanouts[h]
+                      for h in range(self.active_hops))
+        self.U = max(min((self.OE - self.D) // 2, e_total), 1)
+        if 2 * self.U + self.D > self.OE:
+            raise ValueError(
+                f"outer_edge_cap {self.OE} cannot hold {self.D} self-loops "
+                "plus one undirected pair in both directions")
         self.idt = jnp.int16 if self.D <= np.iinfo(np.int16).max else jnp.int32
 
         qn = np.diff(s._mol_qptr).astype(np.int32)
@@ -147,6 +195,62 @@ class DeviceSampler:
         """The (seed, epoch, step)-derived PRNG key (fold_in chain)."""
         k = jax.random.fold_in(jax.random.key(self.seed), epoch)
         return jax.random.fold_in(k, step)
+
+    def _calibrate_node_hops(self, s, draws: int = 6,
+                             margin: float = 1.3) -> int:
+        """Number of hops that must run the node-adding (dedup + budget)
+        path; trailing hops are edge-only.
+
+        Simulates ``draws`` full hierarchical draws in NumPy (statistics
+        only — no coupling to the device RNG streams) and returns the
+        smallest h such that after hop h-1 the drug budget D was saturated
+        in EVERY draw with ``margin``x more unique candidates available
+        than budget remained. Deterministic in (seed, dataset), so resume
+        and cross-process draws stay exact."""
+        ptr = np.asarray(s._adj_ptr, np.int64)
+        adj = np.asarray(s._adj_dst, np.int64)
+        tp = np.asarray(s.train_pairs, np.int64)
+        H = len(self.fanouts)
+        rng = np.random.default_rng(self.seed + 0x5EED)
+        sat = np.full(H, True)
+        for _ in range(draws):
+            bs = self.batch_size
+            pos = tp[rng.integers(0, len(tp), bs)]
+            endpoints = [pos.reshape(-1)]
+            for _ in range(self.neg_ratio):
+                right = rng.random(bs) < 0.5
+                rand = rng.integers(0, self.N, bs)
+                endpoints.append(np.where(right, pos[:, 0], rand))
+                endpoints.append(np.where(right, rand, pos[:, 1]))
+            seeds = np.unique(np.concatenate(endpoints))
+            seen = np.zeros(self.N, bool)
+            seen[seeds] = True
+            total = min(len(seeds), self.D)
+            frontier = seeds[: self.fcaps[0]]
+            for h in range(H):
+                f = self.fanouts[h]
+                deg = ptr[frontier + 1] - ptr[frontier]
+                full_nbh = np.minimum(np.arange(f)[None, :],
+                                      np.maximum(deg[:, None] - 1, 0))
+                draws_f = (rng.random((len(frontier), f))
+                           * np.maximum(deg, 1)[:, None]).astype(np.int64)
+                cols = np.where((deg <= f)[:, None], full_nbh, draws_f)
+                ev = np.arange(f)[None, :] < deg[:, None]
+                cand = adj[np.minimum(ptr[frontier][:, None] + cols,
+                                      len(adj) - 1)][ev]
+                cand = np.unique(cand[~seen[cand]])
+                rem = self.D - total
+                keep = min(len(cand), rem)
+                sat[h] &= (total + keep >= self.D) and (
+                    len(cand) >= margin * max(rem, 1))
+                newf = cand[:keep]
+                seen[newf] = True
+                total += keep
+                frontier = newf[: self.fcaps[h + 1]]
+        for h in range(H):
+            if sat[h]:
+                return h + 1
+        return H
 
     # -- the jittable draw -------------------------------------------------
     def sample(self, consts: SamplerConsts, key: jax.Array):
@@ -179,11 +283,10 @@ class DeviceSampler:
         def sorted_unique(x, sent):
             """Ascending unique of x (sentinel-padded), sentinel tail.
 
-            The compaction is a SECOND sort on purpose: TPU sorts cost
-            ~1.5-2 ms near-independent of size while the alternatives
+            The compaction is a SECOND sort on purpose: the alternatives
             measured WORSE in r3 — jnp.searchsorted's scan lowering took
             this path from 8.4 to 39.9 ms/step, and cumsum+scatter
-            compaction benches at sort-cost (~2 ms) anyway."""
+            compaction benches at the same cost as the sort."""
             xs = jnp.sort(x)
             m = (xs < sent) & jnp.concatenate(
                 [jnp.ones(1, bool), xs[1:] != xs[:-1]])
@@ -192,12 +295,13 @@ class DeviceSampler:
         seeds, n_seeds = sorted_unique(all_pairs.reshape(-1), N)
         seen = jnp.zeros(N + 1, bool).at[seeds].set(True)  # sentinel row N
         total = jnp.minimum(n_seeds, D)
-        segs = [(seeds, jnp.arange(seeds.shape[0]) < n_seeds)]
-        es_bufs, ed_bufs = [], []
+        node_segs = [seeds]  # sentinel-N beyond each segment's valid prefix
+        es_bufs, frs = [], []
         hop_dropped = jnp.zeros((), i32)
         frontier = seeds[: self.fcaps[0]]
         E = int(consts.adj_dst.shape[0])
-        for h, fanout in enumerate(self.fanouts):
+        for h in range(self.active_hops):
+            fanout = self.fanouts[h]
             FC = self.fcaps[h]
             fr = frontier
             frv = fr < N
@@ -218,9 +322,10 @@ class DeviceSampler:
                 consts.adj_dst,
                 jnp.clip(lo[:, None] + cols, 0, E - 1)).astype(i32)
             es = jnp.where(ev, es, N)
-            ed = jnp.where(ev, jnp.broadcast_to(fr[:, None], (FC, fanout)), N)
             es_bufs.append(es.reshape(-1))
-            ed_bufs.append(ed.reshape(-1))
+            frs.append(fr)  # edge dst == frontier node (broadcast later)
+            if h >= self.n_node_hops:
+                continue  # edge-only hop: no dedup, no budget, no frontier
             cand = jnp.where(
                 ev & ~jnp.take(seen, jnp.minimum(es, N)), es, N).reshape(-1)
             uvals, ucount = sorted_unique(cand, N)
@@ -229,85 +334,77 @@ class DeviceSampler:
             newf = jnp.where(jnp.arange(NF) < keep, uvals[:NF], N)
             hop_dropped += ucount - keep
             seen = seen.at[newf].set(True)
-            segs.append((newf, newf < N))
+            node_segs.append(newf)
             total += keep
             frontier = newf
 
-        # BFS-segment node list. Every segment is already prefix-valid
-        # (sorted_unique / the keep-prefix construction), so compaction is
-        # pure segment arithmetic — no argsort: position p draws from the
-        # segment whose [start, start+count) range covers it.
-        seg_counts = [n_seeds] + [
-            jnp.sum(v).astype(i32) for _, v in segs[1:]]
-        p = jnp.arange(D, dtype=i32)
-        nodes_bfs = jnp.zeros(D, i32)
-        start = jnp.zeros((), i32)
-        for (seg_arr, _), cnt in zip(segs, seg_counts):
-            idx = p - start
-            take = (idx >= 0) & (idx < cnt)
-            nodes_bfs = jnp.where(
-                take,
-                jnp.take(seg_arr, jnp.clip(idx, 0, seg_arr.shape[0] - 1)),
-                nodes_bfs)
-            start = start + cnt
-        nvalid = p < start  # == total (seg counts already budget-capped)
-
+        # BFS-order node arrays (seeds first, then each node hop's kept
+        # set). Segments stay sentinel-padded; validity/budget/edge-cap
+        # masks are computed IN PLACE — the class packer below absorbs the
+        # compaction the r3 pipeline did with segment arithmetic over [D].
+        nodes_b = jnp.concatenate(node_segs)  # [M]
+        M = int(nodes_b.shape[0])
+        valid_b = nodes_b < N
+        bvalid = valid_b & (jnp.cumsum(valid_b) <= D)  # drug budget
+        nb_c = jnp.minimum(nodes_b, N - 1)
         # edge-cap prefix truncation (BFS order, seeds first — host line
-        # hierarchical.py:561)
-        eq = jnp.where(nvalid, jnp.take(consts.qe, nodes_bfs), 0)
-        keep_e = jnp.sum(nvalid & (jnp.cumsum(eq) <= self.EC)).astype(i32)
-        ecap_dropped = jnp.sum(nvalid).astype(i32) - keep_e
-        nvalid = nvalid & (jnp.arange(D) < keep_e)
+        # hierarchical.py:567)
+        eq = jnp.where(bvalid, jnp.take(consts.qe, nb_c), 0)
+        ecv = bvalid & (jnp.cumsum(eq) <= self.EC)
+        ecap_dropped = (jnp.sum(bvalid) - jnp.sum(ecv)).astype(i32)
 
-        # 4. class-packed layout ------------------------------------------
-        qn = jnp.where(nvalid, jnp.take(consts.qn, nodes_bfs), 0)
-        cls = jnp.where(
-            nvalid, jnp.take(consts.cls_of_size, jnp.minimum(
-                qn, consts.cls_of_size.shape[0] - 1)), C)
-        order2 = jnp.argsort(cls, stable=True)
-        cls_s = jnp.take(cls, order2)
-        nodes_p = jnp.take(nodes_bfs, order2)
-        qn_s = jnp.take(qn, order2)
-        pvalid = cls_s < C  # prefix (padding class C sorts last)
-        cnt = jnp.zeros(C + 1, i32).at[cls_s].add(1)[:C]
+        # 4. class-packed layout (no argsort — module docstring, change 2):
+        # stable rank within each size class via one [M, C] one-hot cumsum,
+        # then scatters build the slot-ordered outputs directly.
+        qn_b = jnp.where(ecv, jnp.take(consts.qn, nb_c), 0)
+        cls_b = jnp.where(
+            ecv, jnp.take(consts.cls_of_size, jnp.minimum(
+                qn_b, consts.cls_of_size.shape[0] - 1)), C)
+        oh = (cls_b[:, None] == jnp.arange(C)[None, :]).astype(i32)
+        ranks = jnp.cumsum(oh, axis=0)  # [M, C]
+        cnt = ranks[-1]  # per-class totals [C]
+        cidx = jnp.minimum(cls_b, C - 1)
+        rank0 = jnp.take_along_axis(ranks, cidx[:, None], axis=1)[:, 0] - 1
         pb = consts.class_pb
         blocks = -(-cnt // pb)
         base = 128 * (jnp.cumsum(blocks) - blocks)
         pos0 = jnp.cumsum(cnt) - cnt
-        cidx = jnp.minimum(cls_s, C - 1)
-        r = jnp.arange(D, dtype=i32) - jnp.take(pos0, cidx)
-        off = (jnp.take(base, cidx)
-               + (r // jnp.take(pb, cidx)) * 128
-               + (r % jnp.take(pb, cidx)) * jnp.take(consts.class_size, cidx))
-        # off + qn is NON-DECREASING over the packed order (classes ascend
-        # by size), so node-cap overflow is a pure tail drop: prefix
-        # validity — which _expand_compact requires — is preserved.
-        fits = pvalid & (off + qn_s <= self.NC)
-        ncap_dropped = jnp.sum(pvalid).astype(i32) - jnp.sum(fits).astype(i32)
-        nvalid_p = fits
-        n_real = jnp.sum(nvalid_p).astype(i32)
-        off = jnp.where(nvalid_p, off, self.NC)
-        nodes_out = jnp.where(nvalid_p, nodes_p, 0).astype(i32)
+        pbc = jnp.take(pb, cidx)
+        off_b = (jnp.take(base, cidx) + (rank0 // pbc) * 128
+                 + (rank0 % pbc) * jnp.take(consts.class_size, cidx))
+        slot_b = jnp.take(pos0, cidx) + rank0  # class-major slot id
+        # off + qn is NON-DECREASING over slot order (classes ascend by
+        # size), so node-cap overflow is a pure suffix drop in slot space:
+        # prefix validity — which _expand_compact requires — is preserved.
+        fits = ecv & (off_b + qn_b <= self.NC)
+        ncap_dropped = (jnp.sum(ecv) - jnp.sum(fits)).astype(i32)
+        n_real = jnp.sum(fits).astype(i32)
+        slot_w = jnp.where(fits, slot_b, D)  # D = drop row
+        nodes_out = jnp.zeros(D, i32).at[slot_w].set(
+            nodes_b, mode="drop")
+        off = jnp.full(D, self.NC, i32).at[slot_w].set(off_b, mode="drop")
 
         # block_slot0[b] = #{slots : off//128 < b} (off non-decreasing)
         nblocks = self.NC // 128
-        blk = jnp.minimum(off // 128, nblocks)
-        hist = jnp.zeros(nblocks + 1, i32).at[blk].add(
-            nvalid_p.astype(i32))
+        blk = jnp.where(fits, off_b // 128, nblocks)
+        hist = jnp.zeros(nblocks + 1, i32).at[blk].add(fits.astype(i32))
         block_slot0 = jnp.concatenate(
             [jnp.zeros(1, i32), jnp.cumsum(hist)[:-1]])
 
-        # local slot ids (packed order); invalid slots write the sentinel
-        # VALUE D into the sentinel ROW N, so local[N] stays D
+        # local slot ids; invalid rows write the sentinel VALUE D into the
+        # sentinel ROW N, so local[N] stays D
         local = jnp.full(N + 1, D, i32).at[
-            jnp.where(nvalid_p, nodes_out, N)
-        ].set(jnp.where(nvalid_p, jnp.arange(D, dtype=i32), D))
+            jnp.where(fits, nodes_b, N)
+        ].set(slot_w)
 
-        # 5. outer subgraph -----------------------------------------------
+        # 5. outer subgraph (module docstring, change 3) -------------------
         es = jnp.concatenate(es_bufs)
-        ed = jnp.concatenate(ed_bufs)
         la = jnp.take(local, jnp.minimum(es, N))
-        lb = jnp.take(local, jnp.minimum(ed, N))
+        lb = jnp.concatenate([
+            jnp.broadcast_to(
+                jnp.take(local, jnp.minimum(fr, N))[:, None],
+                (fr.shape[0], self.fanouts[h])).reshape(-1)
+            for h, fr in enumerate(frs)])
         ok = (la < D) & (lb < D) & (la != lb)
         sent = D * D
         keyv = jnp.where(
@@ -322,23 +419,46 @@ class DeviceSampler:
         outer_dropped = (ucnt - kept) * 2  # both directions drop
         ku = kuniq[: self.U]
         uval = jnp.arange(self.U) < kept
-        p0 = jnp.where(uval, ku // D, D)
-        p1 = jnp.where(uval, ku % D, D)
+        klo = ku // D
+        khi = ku % D
+        # dst-major composite keys: canonical pair (lo, hi) emits
+        # (src=hi, dst=lo) -> key lo*D+hi == ku, and (src=lo, dst=hi) ->
+        # key hi*D+lo; live self-loops -> d*D+d. All three families are
+        # disjoint (src<dst / src>dst / src==dst), so one plain argsort of
+        # the composite key yields the dst-sorted edge list with each dst
+        # block internally src-sorted.
+        U = self.U
+        key_a = jnp.where(uval, ku, sent)
+        key_b = jnp.where(uval, khi * D + klo, sent)
         slot = jnp.arange(D, dtype=i32)
-        loops = jnp.where(slot < n_real, slot, D)
-        su = jnp.concatenate([p0, p1, loops])
-        sv = jnp.concatenate([p1, p0, loops])
-        o3 = jnp.argsort(sv, stable=True)
-        sv_s = jnp.take(sv, o3)
-        su_s = jnp.where(sv_s < D, jnp.take(su, o3), 0)
-        L = int(su.shape[0])
-        if L >= self.OE:
-            outer_src = su_s[: self.OE].astype(self.idt)
-            outer_dst = sv_s[: self.OE].astype(self.idt)
-        else:
-            outer_src = jnp.pad(su_s, (0, self.OE - L)).astype(self.idt)
-            outer_dst = jnp.pad(
-                sv_s, (0, self.OE - L), constant_values=D).astype(self.idt)
+        key_l = jnp.where(slot < n_real, slot * D + slot, sent)
+        key_all = jnp.concatenate([key_a, key_b, key_l])  # [L = 2U + D]
+        L = int(key_all.shape[0])
+        o3 = jnp.argsort(key_all).astype(i32)
+        ks = jnp.take(key_all, o3)
+        vale = ks < sent
+        sv_s = jnp.where(vale, ks // D, D)
+        su_s = jnp.where(vale, ks % D, 0)
+        # free src-sort perm: the edge list is SYMMETRIC, so the k-th
+        # src-sorted edge is the mirror of the k-th dst-sorted edge —
+        # edge_src_sorted[k] == sv_s[k] and the permutation is the mirror
+        # involution (canonical pair c's dirA entry at origin c and dirB
+        # entry at origin U+c point at each other; loops and padding are
+        # fixed points). One scatter inverts o3, one gather follows the
+        # mirrored origin.
+        idxL = jnp.arange(L, dtype=i32)
+        is_a = vale & (o3 < U)
+        is_b = vale & (o3 >= U) & (o3 < 2 * U)
+        inv = jnp.zeros(L, i32).at[o3].set(idxL)
+        mir_origin = jnp.where(
+            is_a, o3 + U, jnp.where(is_b, o3 - U, o3))
+        operm = jnp.take(inv, mir_origin)
+        pad = self.OE - L  # init asserts 2U + D <= OE
+        outer_src = jnp.pad(su_s, (0, pad)).astype(self.idt)
+        outer_dst = jnp.pad(
+            sv_s, (0, pad), constant_values=D).astype(self.idt)
+        outer_perm = jnp.concatenate(
+            [operm, jnp.arange(L, self.OE, dtype=i32)])
 
         # pairs -> local slots; endpoints dropped by any truncation mask out
         pa = jnp.take(local, all_pairs[:, 0])
@@ -365,9 +485,11 @@ class DeviceSampler:
             block_slot0=block_slot0,
             outer_src=outer_src,
             outer_dst=outer_dst,
-            outer_weight=None,
-            outer_src_perm=None,
-            outer_src_sorted=None,
+            outer_weight=None,  # GCN weights still derived on device
+            # mirror identity: src-sorted src values == dst-sorted dst
+            # values (outer_dst doubles as outer_src_sorted)
+            outer_src_perm=outer_perm,
+            outer_src_sorted=outer_dst,
             pairs=pairs_local,
             labels=labels,
             mask=mask,

@@ -648,12 +648,18 @@ class MinibatchTrainer:
                 * jnp.take(gw, jnp.minimum(odst, D - 1)),
                 0.0,
             )
-            operm = jnp.argsort(osrc, stable=True).astype(jnp.int32)
-            osorted = jnp.take(osrc, operm)
         else:
             w = hb.outer_weight
-            operm = getattr(hb, "outer_src_perm", None)
-            osorted = getattr(hb, "outer_src_sorted", None)
+        operm = getattr(hb, "outer_src_perm", None)
+        osorted = getattr(hb, "outer_src_sorted", None)
+        if operm is not None:
+            operm = operm.astype(jnp.int32)
+            osorted = osorted.astype(jnp.int32)
+        elif getattr(hb, "outer_weight", None) is None:
+            # host compact path ships neither: derive the stable src-sort
+            # on device (identical to np.argsort(kind='stable'))
+            operm = jnp.argsort(osrc, stable=True).astype(jnp.int32)
+            osorted = jnp.take(osrc, operm)
         return OuterGraph(
             edge_src=osrc,
             edge_dst=odst,

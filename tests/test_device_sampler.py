@@ -163,3 +163,55 @@ def test_budget_overflow_guard(setup):
     big.drug_budget = 50_000
     with pytest.raises(ValueError, match="overflows"):
         DeviceSampler(big)
+
+
+def test_emitted_src_sort_perm(setup):
+    """r4: the sampler ships the src-sort permutation for free via the
+    mirror involution of its symmetric outer edge list (device_sampler.py
+    module docstring, change 3). Contract used by ops/spmm + ops/multihead:
+    outer_src_perm is a permutation of [0, OE), outer_src[perm] is
+    non-decreasing with padding ids == D at the tail, and equals
+    outer_src_sorted."""
+    _, _, dev, consts, sample = setup
+    for step in range(3):
+        cb, _ = _draw(dev, consts, sample, 2, step)
+        perm = cb.outer_src_perm.astype(np.int64)
+        assert perm.shape == (dev.OE,)
+        np.testing.assert_array_equal(np.sort(perm), np.arange(dev.OE))
+        osrc = cb.outer_src.astype(np.int64)
+        odst = cb.outer_dst.astype(np.int64)
+        # padding entries (dst == D) have src 0 and must sort as id D, the
+        # segment-drop sentinel — the emitted sorted array encodes that
+        src_eff = np.where(odst < dev.D, osrc, dev.D)
+        got = src_eff[perm]
+        assert np.all(np.diff(got) >= 0)
+        np.testing.assert_array_equal(got, cb.outer_src_sorted.astype(np.int64))
+        # mirror identity on live edges: the k-th src-sorted edge is the
+        # swap of the k-th dst-sorted edge, so dst[perm[k]] == src[k]
+        live = odst < dev.D
+        np.testing.assert_array_equal(odst[perm][live], osrc[live])
+
+
+def test_edge_only_hop_calibration():
+    """r4: on a budget-saturating config the trailing hop is calibrated
+    edge-only (adds outer edges but no nodes); on the roomy default config
+    every hop stays node-adding."""
+    ds = make_synthetic_ddi(num_drugs=300, feat_dim=8, avg_degree=40.0,
+                            min_atoms=4, max_atoms=12, seed=5)
+    host_sat = HierarchicalSampler(ds, batch_size=32, neg_ratio=1,
+                                   fanouts=(8, 4), seed=0, calibrate_caps=4,
+                                   max_drugs=96)
+    dev_sat = DeviceSampler(host_sat)
+    assert dev_sat.n_node_hops < len(dev_sat.fanouts)
+    # edges from the edge-only hop still appear: sample and check that the
+    # batch has live outer edges beyond the loop count and valid structure
+    consts = jax.tree.map(jnp.asarray, dev_sat.constants())
+    cb, _ = jax.jit(dev_sat.sample)(consts, dev_sat.key_at(0, 0))
+    cb = jax.tree.map(np.asarray, cb)
+    n = int(cb.n_real)
+    live = cb.outer_dst.astype(np.int64) < dev_sat.D
+    assert int(live.sum()) > n  # loops + real sampled edges
+    host_roomy = HierarchicalSampler(ds, batch_size=4, neg_ratio=1,
+                                     fanouts=(2,), seed=0, calibrate_caps=4)
+    dev_roomy = DeviceSampler(host_roomy)
+    assert dev_roomy.n_node_hops == 1
