@@ -161,14 +161,28 @@ def build_block_adj(
     num_nodes: int,
     out_dtype=jnp.float32,
     *,
-    block_edges: int = 512,
+    block_edges: int = 1024,
     interpret: bool = False,
-    program_rows: int = 512,
+    program_rows: int = 256,
 ) -> jax.Array:
     """[N/128, 128, 128] block-diagonal adjacency (weighted sum or count).
 
     Requires the block-local layout contract (every edge's endpoints inside
     one 128-row block); out-of-block / padding edges (dst == N) mask to zero.
+
+    r4 retuning (hoisting-free timing — the r3 sweep's "flat at 0.84 ms" was
+    an XLA loop-invariant-hoisting artifact; cycle distinct batches when
+    measuring): pr=256/be=1024 measures 3.40 ms at config #4 vs 4.09 for the
+    r3 pr=512/be=512 default. Measured DEAD ENDS at this shape, all ~3.4 ms
+    or worse — the kernel sits at the chip's MXU dot-issue rate (~0.86 us
+    per depth-1024 one-hot dot, 39 TFLOP/s == the matmul anchor; dots of
+    depth 512 run at HALF rate, so shrinking chunks buys nothing), i.e.
+    ~one dot per 128-block is the structural floor of any one-hot build:
+      * cross-program chunk-0 DMA prefetch (2-slot ring + SMEM counter):
+        identical timing — not DMA-latency-bound;
+      * per-block SUB=1 dots with a SUB-wide out tile (halves FLOPs):
+        3.81 ms — dot COUNT, not FLOPs, is the bound;
+      * 1D pre-masked shift instead of the [128, BE] AND: identical.
     Counts and 0/1 masks are exact in bf16 (integers < 256 accumulated in
     f32); weighted builds in bf16 round weights to bf16 — the compute dtype
     of the consuming matmuls anyway.

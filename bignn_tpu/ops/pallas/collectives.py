@@ -126,6 +126,25 @@ def all_to_all_pallas(
         )
     g, s, f = x.shape
     assert g == axis_size, (g, axis_size)
+
+    def call(v):
+        return _a2a_call(v, axis_name, axis_size, collective_id, interpret)
+
+    # The exchange is linear and SELF-ADJOINT: recv_i[j] = send_j[i], so the
+    # cotangent of my recv slot j flows back as peer j's send slot i — the
+    # identical all-to-all applied to the cotangents. This custom VJP lets
+    # the kernel sit inside differentiated train steps (parallel/halo.py
+    # halo_impl="pallas"), mirroring how AD transposes lax.all_to_all.
+    @jax.custom_vjp
+    def f(v):
+        return call(v)
+
+    f.defvjp(lambda v: (call(v), None), lambda _, ct: (call(ct),))
+    return f(x)
+
+
+def _a2a_call(x, axis_name, axis_size, collective_id, interpret):
+    g, s, f = x.shape
     kernel = functools.partial(
         _a2a_kernel,
         axis_name=axis_name,

@@ -30,6 +30,23 @@ from bignn_tpu.ops import segment_softmax, segment_sum, spmm_multihead, spmm_sor
 from bignn_tpu.ops.gather import gather_rows
 
 
+def _a2a(sendbuf: jax.Array, axis_name: str, impl: str) -> jax.Array:
+    """The wire step shared by every exchange below: one all-to-all of the
+    [G, S, F] send buffer. ``impl="lax"`` is the XLA collective (lowered to
+    ICI, asynchronously scheduled); ``impl="pallas"`` is the remote-DMA
+    kernel (ops/pallas/collectives.py — differentiable via its self-adjoint
+    custom VJP). r4 (VERDICT r3 item 3): every distributed layer and
+    p2_overlap_forward take ``impl`` so the Pallas path is selectable in the
+    flagship train step (run.py --halo-impl)."""
+    if impl == "pallas":
+        from bignn_tpu.ops.pallas.collectives import all_to_all_pallas
+
+        return all_to_all_pallas(sendbuf, axis_name, sendbuf.shape[0])
+    if impl != "lax":
+        raise ValueError(f"unknown halo impl {impl!r} (want 'lax'|'pallas')")
+    return jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
+
+
 def halo_exchange(
     h_local: jax.Array,  # [B, F] owned rows
     send_idx: jax.Array,  # [G, S] local ids to send to each peer
@@ -44,12 +61,7 @@ def halo_exchange(
     """
     sendbuf = jnp.take(h_local, send_idx, axis=0, mode="clip")  # [G, S, F]
     g = send_idx.shape[0]
-    if impl == "pallas":
-        from bignn_tpu.ops.pallas.collectives import all_to_all_pallas
-
-        recv = all_to_all_pallas(sendbuf, axis_name, g)
-    else:
-        recv = jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
+    recv = _a2a(sendbuf, axis_name, impl)
     _, s, f = recv.shape
     return jnp.concatenate([h_local, recv.reshape(g * s, f)], axis=0)
 
@@ -60,7 +72,7 @@ def halo_exchange(
 
 
 def dist_gcn_apply(conv: GCNConv, params, h_local, src, dst, weight, send_idx,
-                   axis_name: str = "graph"):
+                   axis_name: str = "graph", impl: str = "lax"):
     """Boundary-first schedule: the [G, S] boundary rows are transformed and
     put on the wire BEFORE the full-width transform, so the all-to-all is in
     flight while the [B, F] matmul runs (XLA async collectives overlap
@@ -70,7 +82,7 @@ def dist_gcn_apply(conv: GCNConv, params, h_local, src, dst, weight, send_idx,
     b = h_local.shape[0]
     bnd = jnp.take(h_local, send_idx, axis=0, mode="clip")  # [G, S, in]
     sendbuf = jnp.dot(bnd, params["w"], preferred_element_type=jnp.float32)
-    recv = jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
+    recv = _a2a(sendbuf, axis_name, impl)
     h_t = jnp.dot(h_local, params["w"], preferred_element_type=jnp.float32)
     g, s, f = recv.shape
     ext = jnp.concatenate([h_t, recv.reshape(g * s, f)], axis=0)
@@ -79,7 +91,7 @@ def dist_gcn_apply(conv: GCNConv, params, h_local, src, dst, weight, send_idx,
 
 
 def dist_gin_apply(conv: GINConv, params, h_local, src, dst, weight, send_idx,
-                   axis_name: str = "graph"):
+                   axis_name: str = "graph", impl: str = "lax"):
     """GIN sends RAW rows (its transform happens after aggregation), so
     boundary-first transform overlap doesn't apply — but aggregation is
     LINEAR, so the edge list splits by source locality (VERDICT r2 item 6):
@@ -92,7 +104,7 @@ def dist_gin_apply(conv: GINConv, params, h_local, src, dst, weight, send_idx,
     del weight
     b = h_local.shape[0]
     sendbuf = jnp.take(h_local, send_idx, axis=0, mode="clip")  # [G, S, d]
-    recv = jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
+    recv = _a2a(sendbuf, axis_name, impl)
     w_loc = (src < b).astype(h_local.dtype)
     # local-src aggregation — no dependency on recv, overlaps the exchange
     agg = spmm_sorted_coo(h_local, jnp.minimum(src, b - 1), dst, w_loc, b)
@@ -109,7 +121,7 @@ def dist_gin_apply(conv: GINConv, params, h_local, src, dst, weight, send_idx,
 
 
 def dist_gat_apply(conv: GATConv, params, h_local, src, dst, weight, send_idx,
-                   axis_name: str = "graph"):
+                   axis_name: str = "graph", impl: str = "lax"):
     del weight
     b = h_local.shape[0]
     H, D = conv.heads, conv.head_dim
@@ -121,7 +133,7 @@ def dist_gat_apply(conv: GATConv, params, h_local, src, dst, weight, send_idx,
     g, s = bnd_t.shape[0], bnd_t.shape[1]
     sr_bnd = jnp.sum(bnd_t.reshape(g, s, H, D) * params["a_r"], axis=-1)
     sendbuf = jnp.concatenate([bnd_t, sr_bnd], axis=-1)  # [G, S, H*D + H]
-    recv = jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
+    recv = _a2a(sendbuf, axis_name, impl)
     h_t = jnp.dot(h_local, params["w"], preferred_element_type=jnp.float32)
     hh = h_t.reshape(b, H, D)
     score_l = jnp.sum(hh * params["a_l"], axis=-1)  # [B, H] dst part (local)
@@ -201,6 +213,7 @@ def p2_overlap_forward(
     edge_weight: jax.Array,
     send_idx: jax.Array,  # [G, S]
     axis_name: str = "graph",
+    impl: str = "lax",
 ) -> jax.Array:
     """Distributed bi-level forward with the flagship overlap
     (BASELINE.json:5,11): boundary drugs encode first, their RAW embeddings
@@ -211,7 +224,7 @@ def p2_overlap_forward(
     exchange overlaps the layer's own full-width transform."""
     h_bnd = model.encode_inner(params, bnd_batch)  # [B, d]
     sendbuf = jnp.take(h_bnd, send_idx, axis=0, mode="clip")  # [G, S, d]
-    recv = jax.lax.all_to_all(sendbuf, axis_name, split_axis=0, concat_axis=0)
+    recv = _a2a(sendbuf, axis_name, impl)
     h_int = model.encode_inner(params, int_batch)  # overlapped with the a2a
     h_local = h_bnd + h_int  # disjoint slots
     g, s, f = recv.shape
@@ -228,7 +241,7 @@ def p2_overlap_forward(
         else:
             h_local = _DIST_APPLY[type(conv)](
                 conv, p, h_local, edge_src, edge_dst, edge_weight, send_idx,
-                axis_name,
+                axis_name, impl,
             )
     return h_local
 
@@ -242,6 +255,7 @@ def dist_outer_forward(
     edge_weight: jax.Array,
     send_idx: jax.Array,  # [G, S]
     axis_name: str = "graph",
+    impl: str = "lax",
 ) -> jax.Array:
     """Distributed equivalent of BiGNN.propagate_outer for one shard."""
     _, inner_dim = model._inner_stack()
@@ -255,6 +269,6 @@ def dist_outer_forward(
             )
         h_local = fn(
             conv, params["outer"][f"layer_{i}"], h_local,
-            edge_src, edge_dst, edge_weight, send_idx, axis_name,
+            edge_src, edge_dst, edge_weight, send_idx, axis_name, impl,
         )
     return h_local

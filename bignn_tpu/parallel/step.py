@@ -34,11 +34,11 @@ def step_check_vma() -> bool:
     """shard_map replication proof: on except under the interpret backend
     (see the comment at the first call site).
 
-    BUILD-TIME CAPTURE: step builders call this when the shard_map is
-    CONSTRUCTED, not when the step runs. A step built outside
-    ``backend_scope('pallas_interpret')`` but executed inside it (or vice
-    versa) keeps the build-time decision — pass ``check_vma`` explicitly to
-    the builder to override."""
+    r4 (advisor r2/r3 item): the step builders resolve this at TRACE time —
+    the shard_map is constructed inside the jitted step, so the decision is
+    taken under whatever ``backend_scope`` is active when the step first
+    RUNS, not when the builder was called. Pass ``check_vma`` explicitly to
+    pin it."""
     return get_backend(None) != "pallas_interpret"
 
 
@@ -54,13 +54,18 @@ def make_p2_train_step(
     neg_ratio: int = 1,
     overlap: bool = False,
     check_vma: bool | None = None,
+    halo_impl: str = "lax",
 ) -> Callable:
     """Build the jit'd dp x graph train step.
 
     ``check_vma``: shard_map replication-proof toggle; None (default)
-    resolves from the ACTIVE backend at build time via step_check_vma() —
-    build inside the same backend_scope you'll run under, or pass it
+    resolves from the backend ACTIVE WHEN THE STEP FIRST RUNS (the
+    shard_map is constructed at trace time inside the jit), or pass it
     explicitly.
+
+    ``halo_impl``: "lax" (XLA collective) or "pallas" (remote-DMA kernel,
+    ops/pallas/collectives.py) for every per-layer boundary exchange —
+    VERDICT r3 item 3; exposed as run.py --halo-impl.
 
     Closure signature:
       step(params, opt_state, key, pos_pairs, pos_mask,
@@ -80,13 +85,14 @@ def make_p2_train_step(
                 model, params,
                 jax.tree.map(lambda x: x[0], bnd),
                 jax.tree.map(lambda x: x[0], interior),
-                esrc[0], edst[0], ew[0], sidx[0],
+                esrc[0], edst[0], ew[0], sidx[0], impl=halo_impl,
             )
         else:
             batch = jax.tree.map(lambda x: x[0], inner_batch)
             h_local = model.encode_inner(params, batch)  # [B, d]
             h_local = dist_outer_forward(
-                model, params, h_local, esrc[0], edst[0], ew[0], sidx[0]
+                model, params, h_local, esrc[0], edst[0], ew[0], sidx[0],
+                impl=halo_impl,
             )
         emb = jax.lax.all_gather(h_local, "graph", tiled=True)  # [G*B, d]
         logits = model.score_pairs(params, emb, pairs).astype(jnp.float32)
@@ -107,22 +113,23 @@ def make_p2_train_step(
     # interpreter evaluates kernel INTERNALS under the vma checker, where
     # program-id-derived slices are unvarying vs varying refs — an upstream
     # limitation whose error message itself prescribes check_vma=False.
-    sharded_loss = jax.shard_map(
-        shard_loss,
-        mesh=mesh,
-        check_vma=step_check_vma() if check_vma is None else check_vma,
-        in_specs=(
-            P(),            # params (replicated)
-            P("dp", None),  # pairs
-            P("dp"),        # labels
-            P("dp"),        # mask
-            P("graph"),     # inner_batch (prefix spec: applies to all leaves)
-            P("graph"), P("graph"), P("graph"), P("graph"),
-        ),
-        out_specs=P(),
-    )
-
+    # The shard_map is constructed HERE, inside the traced loss, so the
+    # default resolves from the backend active at first execution.
     def loss_fn(params, key, pos_pairs, pos_mask, inner_batch, esrc, edst, ew, sidx):
+        sharded_loss = jax.shard_map(
+            shard_loss,
+            mesh=mesh,
+            check_vma=step_check_vma() if check_vma is None else check_vma,
+            in_specs=(
+                P(),            # params (replicated)
+                P("dp", None),  # pairs
+                P("dp"),        # labels
+                P("dp"),        # mask
+                P("graph"),     # inner_batch (prefix spec: all leaves)
+                P("graph"), P("graph"), P("graph"), P("graph"),
+            ),
+            out_specs=P(),
+        )
         # Negatives are sampled on the GLOBAL batch, outside shard_map, so
         # results are identical across device counts (SURVEY.md §4 item 6).
         neg = sample_negative_pairs(key, pos_pairs, num_drugs, neg_ratio)
@@ -153,10 +160,12 @@ def make_p2_score_fn(
     mesh: Mesh,
     overlap: bool = False,
     check_vma: bool | None = None,
+    halo_impl: str = "lax",
 ) -> Callable:
     """Distributed scorer for evaluation: (params, pairs, inner_batch,
     esrc, edst, ew, sidx) -> logits for dp-sharded global pairs.
-    ``check_vma``: see make_p2_train_step (build-time capture)."""
+    ``check_vma``/``halo_impl``: see make_p2_train_step (both resolve at
+    trace time)."""
 
     def shard_score(params, pairs, inner_batch, esrc, edst, ew, sidx):
         if overlap:
@@ -165,13 +174,14 @@ def make_p2_score_fn(
                 model, params,
                 jax.tree.map(lambda x: x[0], bnd),
                 jax.tree.map(lambda x: x[0], interior),
-                esrc[0], edst[0], ew[0], sidx[0],
+                esrc[0], edst[0], ew[0], sidx[0], impl=halo_impl,
             )
         else:
             batch = jax.tree.map(lambda x: x[0], inner_batch)
             h_local = model.encode_inner(params, batch)
             h_local = dist_outer_forward(
-                model, params, h_local, esrc[0], edst[0], ew[0], sidx[0]
+                model, params, h_local, esrc[0], edst[0], ew[0], sidx[0],
+                impl=halo_impl,
             )
         emb = jax.lax.all_gather(h_local, "graph", tiled=True)
         logits = model.score_pairs(params, emb, pairs)
@@ -179,14 +189,18 @@ def make_p2_score_fn(
         # embeddings); makes replication over 'graph' provable
         return jax.lax.pmean(logits, "graph")
 
-    return jax.jit(jax.shard_map(
-        shard_score,
-        mesh=mesh,
-        check_vma=step_check_vma() if check_vma is None else check_vma,
-        in_specs=(P(), P("dp", None), P("graph"),
-                  P("graph"), P("graph"), P("graph"), P("graph")),
-        out_specs=P("dp"),
-    ))
+    @jax.jit
+    def score(params, pairs, inner_batch, esrc, edst, ew, sidx):
+        return jax.shard_map(
+            shard_score,
+            mesh=mesh,
+            check_vma=step_check_vma() if check_vma is None else check_vma,
+            in_specs=(P(), P("dp", None), P("graph"),
+                      P("graph"), P("graph"), P("graph"), P("graph")),
+            out_specs=P("dp"),
+        )(params, pairs, inner_batch, esrc, edst, ew, sidx)
+
+    return score
 
 
 def device_put_plan(mesh: Mesh, plan: OuterPartitionPlan, inner_batch):

@@ -32,6 +32,9 @@ def main(argv=None) -> dict:
                         "modes (p2 mode derives dp from devices/graph-shards)")
     p.add_argument("--overlap", action="store_true",
                    help="p2 mode: overlap halo exchange with inner aggregation")
+    p.add_argument("--halo-impl", default="lax", choices=["lax", "pallas"],
+                   help="p2 halo exchange wire step: XLA collective (lax) or "
+                        "the Pallas ICI remote-DMA kernel (pallas)")
     p.add_argument("--device-sample", dest="device_sample", default=None,
                    action="store_true",
                    help="minibatch mode: sample on device (epoch = one "
@@ -120,6 +123,7 @@ def main(argv=None) -> dict:
         elif cfg.mode == "p2":
             params, result = _run_p2(
                 model, ds, cfg, logger, overlap=args.overlap,
+                halo_impl=args.halo_impl,
                 ckpt=ckpt, checkpoint_every=args.checkpoint_every or 1)
         else:
             data = prepare_device_data(ds, max_buckets=cfg.max_buckets)
@@ -137,7 +141,8 @@ def main(argv=None) -> dict:
     return result
 
 
-def _run_p2(model, ds, cfg, logger, overlap: bool = False, ckpt=None,
+def _run_p2(model, ds, cfg, logger, overlap: bool = False,
+            halo_impl: str = "lax", ckpt=None,
             checkpoint_every: int = 1):
     """Distributed (edge-partitioned) training loop — config #5.
 
@@ -201,7 +206,8 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False, ckpt=None,
         params = jax.tree.map(rep, params)
         opt_state = jax.tree.map(rep, opt_state)
     step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs,
-                              cfg.train.neg_ratio, overlap=overlap)
+                              cfg.train.neg_ratio, overlap=overlap,
+                              halo_impl=halo_impl)
     inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
 
     sampler = EdgeMinibatchSampler(train_edges.astype(np.int32),
@@ -212,7 +218,8 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False, ckpt=None,
         # fold_ins of a global key stay global
         base_key = jax.random.wrap_key_data(
             rep(np.asarray(jax.random.key_data(base_key))))
-    score_fn = make_p2_score_fn(model, mesh, overlap=overlap)
+    score_fn = make_p2_score_fn(model, mesh, overlap=overlap,
+                                halo_impl=halo_impl)
     dp_pad = dp  # eval pair count must divide the dp axis
 
     # Metrics stay on device: scores are never funneled to host; the exact

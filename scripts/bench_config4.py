@@ -202,23 +202,63 @@ def main():
         _ = float(np.asarray(ls)[-1])
         best_dev = min(best_dev, (time.perf_counter() - t0) / step)
 
+    # DEVICE-batch compute ceiling + edge probes (r4, VERDICT r3 item 4
+    # honesty): the r3 artifact compared the device-sampled sustained rate
+    # against the scan over HOST-sampled batches — but host batches ship no
+    # src-sort perm (the step re-derives it) and pack greedily, so they are
+    # not the device pipeline's own compute path. Measure both: scan over
+    # presampled DEVICE batches = the ceiling the device sampler's overhead
+    # is hidden against; edges_per_step probed from the SAME batches.
+    import jax.numpy as jnp  # noqa: F811
+    dsam = tr_dev.dsampler
+    dcbs = [jax.jit(dsam.sample)(tr_dev._dev_consts, dsam.key_at(1, j))[0]
+            for j in range(n_scan)]
+    dprobes = []
+    for cbp in dcbs[:5]:
+        k = int(cbp.n_real)
+        nodes_np = np.asarray(cbp.nodes)[:k]
+        dprobes.append((
+            int(e_per_all[nodes_np].sum()),
+            int((np.asarray(cbp.outer_dst) < dsam.D).sum()),
+        ))
+    edges_per_step_dev = int(
+        float(_np.median([p[0] for p in dprobes]))
+        * len(model.config.inner_layers)
+        + float(_np.median([p[1] for p in dprobes]))
+        * len(model.config.outer_layers))
+    dstacked = jax.tree.map(lambda *xs: jnp.stack(xs), *dcbs)
+    params_d, opt_d = tr_dev.init()
+    _, _, dl = run_scan(params_d, opt_d, dstacked, tr_dev.tables)
+    np.asarray(dl)
+    best_dscan = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, _, dl = run_scan(params_d, opt_d, dstacked, tr_dev.tables)
+        np.asarray(dl)
+        best_dscan = min(best_dscan, (time.perf_counter() - t0) / n_scan)
+
     print(json.dumps({
         "metric": "config4_edges_per_s_per_chip",
         "host_sample_ms": round(host_ms, 1),
         "device_step_ms": round(dev_ms, 1),
         "steady_state_step_ms": round(steady * 1e3, 1),
         "scan_step_ms": round(best * 1e3, 1),
+        "device_batch_scan_ms": round(best_dscan * 1e3, 1),
         "device_sample_step_ms": round(best_dev * 1e3, 1),
         "edges_per_step": edges_per_step,
+        "edges_per_step_device": edges_per_step_dev,
         # value: the best sustained end-to-end training rate — the
         # device-sampling scan when it wins (it should: zero per-step host
-        # work), else the prefetched host path. scan_step is the
-        # model-compute-only ceiling (presampled batches) for the roofline
-        # accounting in DESIGN.md.
-        "value": round(edges_per_step / min(steady, best_dev), 1),
+        # work), else the prefetched host path. device_batch_scan is the
+        # model-compute-only ceiling on the device pipeline's OWN batches
+        # (the honest hiding target); scan_step is the host-batch scan kept
+        # for r3 comparability.
+        "value": round(edges_per_step_dev / min(steady, best_dev), 1),
         "host_path_edges_per_s": round(edges_per_step / steady, 1),
-        "device_ceiling_edges_per_s": round(edges_per_step / best, 1),
-        "sustained_over_ceiling": round(best / min(steady, best_dev), 3),
+        "device_ceiling_edges_per_s": round(
+            edges_per_step_dev / best_dscan, 1),
+        "host_batch_ceiling_edges_per_s": round(edges_per_step / best, 1),
+        "sustained_over_ceiling": round(best_dscan / min(steady, best_dev), 3),
         "unit": "edges/s/chip",
     }), flush=True)
 

@@ -154,6 +154,14 @@ def main():
     print(f"argsort 128K int32: {t*1e3:.2f} ms", flush=True)
 
     # ---- stage timings ----------------------------------------------------
+    # Every stage body consumes a DIFFERENT batch each iteration (cycling
+    # through K presampled batches via dynamic indexing). The r3 version
+    # varied only one field (jnp.roll(nodes) / emb+i) and XLA hoisted every
+    # computation depending on the unvaried fields OUT of the scan — the
+    # outer stage lost its per-step src-sort derivation and the expand
+    # sub-stage was credited a wrong block_adjacency cost ("[MEASUREMENT
+    # BUG - wrong estarts]" in ROOFLINE_r3). Cycling whole batches keeps
+    # every per-batch op inside the loop.
     key0 = dev.key_at(0, 0)
 
     t_samp = timed_scan(
@@ -161,46 +169,54 @@ def main():
         n=32)
     print(f"\nSTAGE device-sample: {t_samp*1e3:.2f} ms", flush=True)
 
-    cb, _ = jax.jit(dev.sample)(consts, key0)
+    K = 4
+    cbs = [jax.jit(dev.sample)(consts, dev.key_at(0, j))[0] for j in range(K)]
+    cbk = jax.tree.map(lambda *xs: jnp.stack(xs), *cbs)
+
+    def at(stacked, i):
+        return jax.tree.map(lambda x: x[i % K], stacked)
+
     t_exp = timed_scan(
-        lambda i, cb, tb: tr._expand_compact(
-            cb.replace(nodes=jnp.roll(cb.nodes, i)), tb),
-        cb, tb, n=32)
+        lambda i, cbk, tb: tr._expand_compact(at(cbk, i), tb), cbk, tb, n=32)
     print(f"STAGE expand: {t_exp*1e3:.2f} ms", flush=True)
 
     # expand sub-stage: the dense block-diagonal adjacency build
     from bignn_tpu.ops import block_adjacency
 
-    pb0 = jax.jit(tr._expand_compact)(cb, tb)
+    pbs = [jax.jit(tr._expand_compact)(cb, tb) for cb in cbs]
+    adjk = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[(pb.edge_src, pb.edge_dst, pb.block_estarts) for pb in pbs])
     t_adj = timed_scan(
-        lambda i, s_, d_, e_: block_adjacency(
-            s_ + i * 0, d_, None, e_, NC, jnp.bfloat16),
-        pb0.edge_src, pb0.edge_dst, pb0.block_estarts, n=32)
+        lambda i, ak: block_adjacency(
+            ak[0][i % K], ak[1][i % K], None, ak[2][i % K], NC,
+            jnp.bfloat16),
+        adjk, n=32)
     print(f"  sub: block_adjacency build: {t_adj*1e3:.2f} ms", flush=True)
 
-    pb = jax.jit(tr._expand_compact)(cb, tb)
+    pbk = jax.tree.map(lambda *xs: jnp.stack(xs), *pbs)
     t_inner = timed_scan(
-        lambda i, p, pb: model.encode_inner(
-            p, pb.replace(node_feat=pb.node_feat + i)), params, pb, n=32)
+        lambda i, p, pbk: model.encode_inner(p, at(pbk, i)), params, pbk,
+        n=32)
     print(f"STAGE inner (fwd): {t_inner*1e3:.2f} ms", flush=True)
 
-    emb = jax.jit(lambda p, pb: model.encode_inner(p, pb))(params, pb)
+    embs = [jax.jit(model.encode_inner)(params, pb) for pb in pbs]
+    embk = jnp.stack(embs)
     t_outer = timed_scan(
-        lambda i, p, e, cb, tb: model.propagate_outer(
-            p, e + i, tr._derive_outer(cb, tb)), params, emb, cb, tb, n=32)
+        lambda i, p, ek, cbk, tb: model.propagate_outer(
+            p, ek[i % K], tr._derive_outer(at(cbk, i), tb)),
+        params, embk, cbk, tb, n=32)
     print(f"STAGE outer (fwd, incl derive): {t_outer*1e3:.2f} ms", flush=True)
 
     t_fwd = timed_scan(
-        lambda i, p, cb, tb: tr._forward(
-            p, cb.replace(nodes=jnp.roll(cb.nodes, i)), tb),
-        params, cb, tb, n=32)
+        lambda i, p, cbk, tb: tr._forward(p, at(cbk, i), tb),
+        params, cbk, tb, n=32)
     print(f"STAGE forward total: {t_fwd*1e3:.2f} ms", flush=True)
 
     # keep ALL outputs (params/opt_state too) or XLA DCEs the backward
     t_step = timed_scan(
-        lambda i, p, o, cb, tb: tr._step(
-            p, o, cb.replace(nodes=jnp.roll(cb.nodes, i)), tb),
-        params, opt_state, cb, tb, n=32)
+        lambda i, p, o, cbk, tb: tr._step(p, o, at(cbk, i), tb),
+        params, opt_state, cbk, tb, n=32)
     print(f"STAGE full step (fwd+bwd+adam): {t_step*1e3:.2f} ms", flush=True)
 
     t_full = timed_scan(

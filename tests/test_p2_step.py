@@ -107,3 +107,52 @@ def test_multichip_step_pallas_interpret_backend():
 
     with ops.backend_scope("pallas_interpret"):
         g.dryrun_multichip(4)
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_p2_step_halo_impl_pallas_matches_lax(overlap):
+    """r4 (VERDICT r3 item 3): the Pallas remote-DMA all-to-all is
+    selectable in the flagship p2 train step (halo_impl="pallas" /
+    run.py --halo-impl) and produces the same loss and updated params as
+    the lax collective. Runs under the pallas_interpret backend so the
+    kernel executes in the Pallas TPU simulator (real multi-device
+    protocol: barrier, RDMA pushes, per-source recv semaphores) on the
+    fake CPU mesh; AD crosses the exchange via its self-adjoint custom
+    VJP."""
+    from bignn_tpu.ops.dispatch import backend_scope
+
+    ds = make_synthetic_ddi(num_drugs=32, feat_dim=8, avg_degree=6.0,
+                            min_atoms=4, max_atoms=8, seed=4)
+    model = BiGNN(BiGNNConfig.full_bignn(feat_dim=8, dim=16, heads=2))
+    optimizer = optax.adam(1e-3)
+    params = model.init(jax.random.key(3))
+    opt_state = optimizer.init(params)
+    rng = np.random.default_rng(5)
+    pos = rng.integers(0, 32, (8, 2)).astype(np.int32)
+    mask = np.ones(8, np.float32)
+    key = jax.random.key(11)
+
+    train_edges = ds.split_edges("train")
+    plan = build_outer_partition(train_edges[:, 0], train_edges[:, 1],
+                                 ds.num_drugs, 4)
+    inner = build_sharded_inner(ds.molecules, plan, split_boundary=overlap)
+    mesh = make_mesh(dp=1, graph=4, devices=jax.devices()[:4])
+    inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
+
+    results = {}
+    with backend_scope("pallas_interpret"):
+        for impl in ("lax", "pallas"):
+            step = make_p2_train_step(
+                model, optimizer, mesh, ds.num_drugs, neg_ratio=1,
+                overlap=overlap, halo_impl=impl)
+            with mesh:
+                p_new, _, loss = step(
+                    params, opt_state, key, jnp.asarray(pos),
+                    jnp.asarray(mask), inner_d, esrc, edst, ew, sidx)
+            results[impl] = (p_new, float(loss))
+
+    assert np.isclose(results["lax"][1], results["pallas"][1], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(results["lax"][0]),
+                    jax.tree.leaves(results["pallas"][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
