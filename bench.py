@@ -10,6 +10,12 @@ a DrugBank-scale workload. Prints ONE JSON line:
 recorded run (BENCH_BASELINE.json, committed once measured on TPU). Until one
 exists, vs_baseline=1.0.
 
+The line additionally carries ``config4_*`` fields (VERDICT r3 item 4): the
+sustained device-sampled config-#4 training rate — the one config where the
+SpMM/segment/sampling machinery carries the load — its model-compute ceiling
+over presampled device batches, and their ratio, so the driver-recorded
+BENCH_r* tracks the sparse flagship, not just the saturated dense standin.
+
 Run: python bench.py [--preset small|drugbank|large] [--steps N]
 """
 
@@ -21,10 +27,98 @@ import os
 import time
 
 
+def bench_config4(steps: int = 16) -> dict:
+    """Compact config-#4 measurement (scripts/bench_config4.py is the full
+    harness): sustained = MinibatchTrainer(device_sample=True) chunked-scan
+    rate; ceiling = the same train step scanned over presampled device
+    batches; edges/step probed from those batches (real edges, not caps)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bignn_tpu.config import get_config
+    from bignn_tpu.data.datasets import load_npz_cache, save_npz_cache
+    from bignn_tpu.data import make_synthetic_ddi
+    from bignn_tpu.models import BiGNN
+    from bignn_tpu.train import MinibatchTrainer
+
+    cfg = get_config("config4")
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".cache", "config4_100000.npz")
+    if os.path.exists(cache):
+        ds = load_npz_cache(cache, "config4")
+    else:
+        ds = make_synthetic_ddi(num_drugs=100_000, feat_dim=32,
+                                avg_degree=200.0, min_atoms=8, max_atoms=40,
+                                latent_dim=8, seed=0, name="config4")
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache.replace(".npz", ".tmp.npz")
+        save_npz_cache(ds, tmp)
+        os.replace(tmp, cache)
+    model = BiGNN(cfg.model)
+    tr = MinibatchTrainer(model, ds, cfg.train, fanouts=cfg.fanouts,
+                          max_drugs=cfg.max_drugs, device_sample=True,
+                          dispatch_chunk=cfg.dispatch_chunk)
+    dev = tr.dsampler
+    p_, o_ = tr.init()
+    p_, o_, ls, _ = tr.train_chunk_device(p_, o_, 9, 0)  # compile + warm
+    _ = float(np.asarray(ls)[-1])
+    best_dev = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        step = 0
+        while step < steps:
+            p_, o_, ls, _ = tr.train_chunk_device(p_, o_, rep, step)
+            step += tr.dispatch_chunk
+        _ = float(np.asarray(ls)[-1])
+        best_dev = min(best_dev, (time.perf_counter() - t0) / step)
+
+    cbs = [jax.jit(dev.sample)(tr._dev_consts, dev.key_at(1, j))[0]
+           for j in range(8)]
+    e_per = tr.sampler.mol_edge_counts
+    probes = [(int(e_per[np.asarray(cb.nodes)[:int(cb.n_real)]].sum()),
+               int((np.asarray(cb.outer_dst) < dev.D).sum()))
+              for cb in cbs[:5]]
+    eps = int(np.median([p[0] for p in probes])
+              * len(model.config.inner_layers)
+              + np.median([p[1] for p in probes])
+              * len(model.config.outer_layers))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cbs)
+
+    @jax.jit
+    def run_scan(params, opt_state, stacked, tables):
+        def body(carry, hb):
+            params, opt_state = carry
+            params, opt_state, loss = tr._step(params, opt_state, hb, tables)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), stacked)
+        return params, opt_state, losses
+
+    pp, oo = tr.init()
+    _, _, dl = run_scan(pp, oo, stacked, tr.tables)
+    np.asarray(dl)
+    best_scan = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, _, dl = run_scan(pp, oo, stacked, tr.tables)
+        np.asarray(dl)
+        best_scan = min(best_scan, (time.perf_counter() - t0) / len(cbs))
+    return {
+        "config4_edges_per_s_per_chip": round(eps / best_dev, 1),
+        "config4_ceiling_edges_per_s": round(eps / best_scan, 1),
+        "config4_sustained_over_ceiling": round(best_scan / best_dev, 3),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="drugbank",
                         choices=["small", "drugbank", "large"])
+    parser.add_argument("--no-config4", dest="config4", action="store_false",
+                        help="skip the config-#4 device-sampled fields")
     parser.add_argument("--steps", type=int, default=200,
                         help="steps per timed scan; the ~25ms fixed "
                              "dispatch+D2H cost of the device tunnel "
@@ -137,12 +231,18 @@ def main() -> None:
         if base.get("preset") == args.preset and base.get("value"):
             vs = edges_per_s_per_chip / float(base["value"])
 
-    print(json.dumps({
+    line = {
         "metric": "edges_per_s_per_chip",
         "value": round(edges_per_s_per_chip, 1),
         "unit": "edges/s/chip",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if args.config4:
+        try:
+            line.update(bench_config4())
+        except Exception as e:  # never lose the headline line
+            line["config4_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

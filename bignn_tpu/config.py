@@ -102,10 +102,18 @@ def get_config(name: str, **overrides) -> ExperimentConfig:
             # both dtypes) despite being correct at small scale - left off.
             train=TrainConfig(lr=3e-4, epochs=5, batch_size=1024),
             mode="minibatch",
-            fanouts=(10, 5),
+            # r4: ONE hop — the model has a single outer GAT layer, so the
+            # outer receptive field of every scored pair is its 1-hop
+            # neighborhood (the GraphSAGE depth rule: sampling hops =
+            # propagation layers). The r1 (10, 5) second hop added ZERO
+            # nodes at this scale (drug budget saturates at hop 0,
+            # device_sampler calibration) and only ~9K net outer edges for
+            # ~2 ms/step of sampling; measured r4: (10,) sustains 103.9M
+            # vs 95.6M edges/s/chip at ratio 0.92 vs 0.87.
+            fanouts=(10,),
             max_drugs=16384,
             dispatch_chunk=8,
-            device_sample=True,  # 85.8M vs 67M edges/s/chip (DESIGN §2.6)
+            device_sample=True,  # r4: 103.9M vs ~60M host edges/s/chip
         ),
         # 5: edge-partitioned outer graph across a pod slice (halo a2a)
         "config5": ExperimentConfig(

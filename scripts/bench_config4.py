@@ -24,7 +24,7 @@ def main():
     p.add_argument("--num-drugs", type=int, default=100_000)
     p.add_argument("--avg-degree", type=float, default=200.0)
     p.add_argument("--batch", type=int, default=1024)
-    p.add_argument("--fanouts", default="10,5")
+    p.add_argument("--fanouts", default="10")
     p.add_argument("--max-drugs", type=int, default=16384)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--dim", type=int, default=128)

@@ -85,7 +85,7 @@ def main():
         dtype="bfloat16"))
     tr = MinibatchTrainer(
         model, ds, TrainConfig(lr=1e-3, epochs=1, batch_size=1024),
-        fanouts=(10, 5), max_drugs=16384, device_sample=True,
+        fanouts=(10,), max_drugs=16384, device_sample=True,
         dispatch_chunk=8)
     s = tr.sampler
     dev = tr.dsampler
