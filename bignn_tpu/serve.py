@@ -53,6 +53,19 @@ class Scorer:
             model, ds, TrainConfig(epochs=0, batch_size=256), fanouts=(1,),
             calibrate_caps=0)
         self.embeddings = self._tr.embed_all_exact(params)  # [N, d] device
+        # known-partner CSR over train+val edges (device-resident, both
+        # directions): real DDI ranking wants NEW candidates — without the
+        # mask, top-k is dominated by the partners already in the graph
+        # (VERDICT r3 weak 6)
+        known = np.concatenate(
+            [ds.split_edges("train"), ds.split_edges("val")]).astype(np.int64)
+        und = np.concatenate([known, known[:, ::-1]])
+        und = und[np.lexsort((und[:, 1], und[:, 0]))]
+        n = ds.num_drugs
+        kptr = np.searchsorted(und[:, 0], np.arange(n + 1))
+        self._kmax = int(max(np.diff(kptr).max(), 1))
+        self._kptr = jnp.asarray(kptr, jnp.int32)
+        self._kdst = jnp.asarray(und[:, 1], jnp.int32)
         # params are jit ARGUMENTS, never closure constants: refresh() must
         # swap them without retracing (a closure would silently keep serving
         # the old scorer head), and constants would bake the param tree
@@ -60,8 +73,14 @@ class Scorer:
         self._score = jax.jit(
             lambda prm, emb, pairs: model.score_pairs(prm, emb, pairs))
         self._rank = jax.jit(
-            lambda prm, emb, d, k: jax.lax.top_k(
-                self._all_scores(prm, emb, d), k), static_argnames="k")
+            lambda prm, emb, d, k, excl: jax.lax.top_k(
+                self._all_scores(prm, emb, d, excl), k),
+            static_argnames=("k", "excl"))
+        self._rank_batch = jax.jit(
+            lambda prm, emb, ds_, k, excl: jax.lax.top_k(
+                jax.vmap(lambda d: self._all_scores(prm, emb, d, excl))(ds_),
+                k),
+            static_argnames=("k", "excl"))
 
     @classmethod
     def from_checkpoint(cls, cfg, ckpt_dir: str, chunk: int = 65536,
@@ -101,21 +120,44 @@ class Scorer:
                 self._score(self.params, self.embeddings, jnp.asarray(p)))[:n]
         return out
 
-    def _all_scores(self, params, emb, drug_id):
+    def _all_scores(self, params, emb, drug_id, exclude_known=False):
         n = emb.shape[0]
         pairs = jnp.stack(
             [jnp.full(n, drug_id, jnp.int32),
              jnp.arange(n, dtype=jnp.int32)], axis=1)
         scores = self.model.score_pairs(params, emb, pairs)
         # exclude self-interaction from rankings
-        return jnp.where(
-            jnp.arange(n) == drug_id, -jnp.inf, scores.astype(jnp.float32))
+        mask = jnp.arange(n) == drug_id
+        if exclude_known:
+            lo = jnp.take(self._kptr, drug_id)
+            deg = jnp.take(self._kptr, drug_id + 1) - lo
+            idx = lo + jnp.arange(self._kmax, dtype=jnp.int32)
+            part = jnp.take(
+                self._kdst, jnp.minimum(idx, self._kdst.shape[0] - 1))
+            part = jnp.where(jnp.arange(self._kmax) < deg, part, n)
+            mask = mask | jnp.zeros(n, bool).at[part].set(True, mode="drop")
+        return jnp.where(mask, -jnp.inf, scores.astype(jnp.float32))
 
-    def top_k(self, drug_id: int, k: int = 20):
-        """(candidate_ids, logits) of the k best predicted partners."""
+    def top_k(self, drug_id: int, k: int = 20, exclude_known: bool = False):
+        """(candidate_ids, logits) of the k best predicted partners.
+
+        ``exclude_known=True`` additionally masks the drug's train/val
+        partners, so the ranking surfaces NEW candidate interactions
+        instead of re-ranking edges already in the graph."""
         scores, ids = self._rank(
-            self.params, self.embeddings, jnp.int32(drug_id), k)
+            self.params, self.embeddings, jnp.int32(drug_id), k,
+            bool(exclude_known))
         return np.asarray(ids), np.asarray(scores)
+
+    def top_k_batch(self, drug_ids, k: int = 20,
+                    exclude_known: bool = False):
+        """Batched ranking: ([B, k] candidate ids, [B, k] logits) for a
+        vector of query drugs in one device pass (vmapped [B, N] scoring +
+        a single top-k)."""
+        ids = jnp.asarray(np.asarray(drug_ids, np.int32))
+        scores, cand = self._rank_batch(
+            self.params, self.embeddings, ids, k, bool(exclude_known))
+        return np.asarray(cand), np.asarray(scores)
 
     def refresh(self, params) -> None:
         """Swap in new params (e.g. a newer checkpoint) and re-embed."""
@@ -133,9 +175,13 @@ def main(argv=None):
     p.add_argument("--pairs", default=None,
                    help=".npy/.npz [P, 2] int drug-id pairs to score")
     p.add_argument("--out", default=None, help="output .npy for scores")
-    p.add_argument("--topk", type=int, default=None,
-                   help="rank partners for this drug id instead")
+    p.add_argument("--topk", default=None,
+                   help="rank partners for this drug id (or a comma list "
+                        "of ids for one batched pass) instead")
     p.add_argument("--k", type=int, default=20)
+    p.add_argument("--exclude-known", action="store_true",
+                   help="mask train/val partners from rankings (surface "
+                        "NEW candidate interactions)")
     p.add_argument("--last", action="store_true",
                    help="use last params instead of best-val params")
     args = p.parse_args(argv)
@@ -145,11 +191,17 @@ def main(argv=None):
     scorer = Scorer.from_checkpoint(
         get_config(args.config), args.ckpt, use_best=not args.last)
     if args.topk is not None:
-        ids, scores = scorer.top_k(args.topk, args.k)
+        drugs = [int(x) for x in str(args.topk).split(",")]
+        if len(drugs) == 1:
+            ids, scores = scorer.top_k(
+                drugs[0], args.k, exclude_known=args.exclude_known)
+        else:
+            ids, scores = scorer.top_k_batch(
+                drugs, args.k, exclude_known=args.exclude_known)
         print(json.dumps({
-            "drug": args.topk,
+            "drug": drugs[0] if len(drugs) == 1 else drugs,
             "candidates": ids.tolist(),
-            "logits": [round(float(s), 4) for s in scores],
+            "logits": np.round(scores.astype(float), 4).tolist(),
         }))
         return ids, scores
     if args.pairs is None:

@@ -94,3 +94,43 @@ def test_refresh_swaps_params_live(trained):
         s2, tr.score_exact(new_params, pairs), rtol=1e-5, atol=1e-5)
     _, top2 = scorer.top_k(2, k=4)
     assert not np.allclose(top1, top2)
+
+
+def test_top_k_exclude_known(trained):
+    """r4 (VERDICT r3 weak 6): exclude_known=True masks the query drug's
+    train/val partners, so rankings surface NEW candidates; unknown pairs'
+    relative order is unchanged."""
+    ds, model, tr, params = trained
+    scorer = Scorer(model, ds, params, chunk=64)
+    known = np.concatenate([ds.split_edges("train"), ds.split_edges("val")])
+    # pick a drug with at least one known partner
+    drug = int(known[0, 0])
+    partners = set(known[known[:, 0] == drug][:, 1].tolist())
+    partners |= set(known[known[:, 1] == drug][:, 0].tolist())
+    assert partners
+    ids_all, _ = scorer.top_k(drug, k=ds.num_drugs - 1)
+    ids_new, scores_new = scorer.top_k(drug, k=10, exclude_known=True)
+    assert drug not in ids_new
+    assert not (set(ids_new.tolist()) & partners)
+    # the surviving ranking equals the unmasked ranking with knowns removed
+    expect = [i for i in ids_all.tolist()
+              if i not in partners and i != drug][:10]
+    # ties could permute equal scores; compare score values instead of ids
+    full = scorer.top_k(drug, k=ds.num_drugs - 1)
+    np.testing.assert_allclose(
+        scores_new,
+        np.asarray([full[1][full[0].tolist().index(i)] for i in expect]),
+        rtol=1e-6)
+
+
+def test_top_k_batch(trained):
+    """Batched multi-drug top-k == per-drug top_k rows, both mask modes."""
+    ds, model, tr, params = trained
+    scorer = Scorer(model, ds, params, chunk=64)
+    drugs = [0, 3, 7, 11]
+    for excl in (False, True):
+        ids_b, scores_b = scorer.top_k_batch(drugs, k=6, exclude_known=excl)
+        assert ids_b.shape == (4, 6) and scores_b.shape == (4, 6)
+        for row, d in enumerate(drugs):
+            ids1, scores1 = scorer.top_k(d, k=6, exclude_known=excl)
+            np.testing.assert_allclose(scores_b[row], scores1, rtol=1e-6)
