@@ -11,8 +11,9 @@ host work, zero per-step H2D, sustained == ceiling by construction.
 Pipeline per step (all static shapes, one `jax.random` key):
   1. positive pair draw + negative endpoint corruption;
   2. L-hop fanout neighbor expansion over the resident train-graph CSR
-     (full neighborhood when degree <= fanout, with-replacement draws
-     otherwise — the host sampler's exact per-node rule);
+     (full neighborhood when degree <= fanout; otherwise a random
+     contiguous WINDOW of the once-shuffled neighbor list — see the
+     estimator notes at the window draw in sample());
   3. sort-based dedup per hop + seed-preserving budget truncation
      (ascending unique order == the host's np.unique prefix order);
   4. CLASS-PACKED block layout: molecules sorted by quantized size class,
@@ -97,7 +98,8 @@ class SamplerConsts(NamedTuple):
     """Device-resident constants (uploaded once, ~O(E) int32)."""
 
     adj_ptr: jax.Array  # [N+1] int32 undirected train-graph CSR
-    adj_dst: jax.Array  # [E] int32
+    adj_dst: jax.Array  # [E16/16, 16] int32 SHUFFLED neighbor lists,
+    #   16-aligned rows (window sampling — see sample())
     train_pairs: jax.Array  # [T, 2] int32 positive train edges
     qn: jax.Array  # [N] int32 quantized molecule node counts
     qe: jax.Array  # [N] int32 quantized molecule edge counts
@@ -176,9 +178,25 @@ class DeviceSampler:
         cls_of_size = np.zeros(int(sizes.max()) + 1, np.int32)
         cls_of_size[sizes] = np.arange(len(sizes), dtype=np.int32)
         self.C = int(len(sizes))
+        # WINDOW SAMPLING layout (r4): each node's neighbor list is
+        # shuffled ONCE (deterministic in seed) and stored as 16-aligned
+        # int32 rows. A fanout draw then takes a random CONTIGUOUS window
+        # of the shuffled list — two aligned row gathers + a one-hot
+        # select — instead of `fanout` independent element gathers, which
+        # at config-#4 scale cost 0.74 ms/draw of pure per-element gather
+        # latency (scripts/probe_sampler_ops.py). See sample() for the
+        # estimator notes.
+        rng_sh = np.random.default_rng((self.seed, 0x5FFE))
+        _deg = np.diff(s._adj_ptr)
+        _owner = np.repeat(np.arange(self.N, dtype=np.int64), _deg)
+        _order = np.lexsort((rng_sh.random(len(s._adj_dst)), _owner))
+        _adj_sh = np.asarray(s._adj_dst, np.int32)[_order]
+        _e16 = -(-len(_adj_sh) // 16) * 16
+        _adj2d = np.zeros(_e16, np.int32)
+        _adj2d[: len(_adj_sh)] = _adj_sh
         self._consts_np = SamplerConsts(
             adj_ptr=s._adj_ptr.astype(np.int32),
-            adj_dst=s._adj_dst.astype(np.int32),
+            adj_dst=_adj2d.reshape(-1, 16),
             train_pairs=s.train_pairs.astype(np.int32),
             qn=qn,
             qe=qe,
@@ -293,15 +311,18 @@ class DeviceSampler:
             return jnp.sort(jnp.where(m, xs, sent)), m.sum().astype(i32)
 
         seeds, n_seeds = sorted_unique(all_pairs.reshape(-1), N)
-        seen = jnp.zeros(N + 1, bool).at[seeds].set(True)  # sentinel row N
         total = jnp.minimum(n_seeds, D)
         node_segs = [seeds]  # sentinel-N beyond each segment's valid prefix
         es_bufs, frs = [], []
         hop_dropped = jnp.zeros((), i32)
         frontier = seeds[: self.fcaps[0]]
-        E = int(consts.adj_dst.shape[0])
+        ER = int(consts.adj_dst.shape[0])  # 16-wide aligned rows
         for h in range(self.active_hops):
             fanout = self.fanouts[h]
+            if fanout > 16:
+                raise ValueError(
+                    "window sampling supports fanout <= 16 per hop "
+                    "(a window spans at most two aligned 16-rows)")
             FC = self.fcaps[h]
             fr = frontier
             frv = fr < N
@@ -309,31 +330,68 @@ class DeviceSampler:
             lo = jnp.take(consts.adj_ptr, frc)
             deg = jnp.where(frv, jnp.take(consts.adj_ptr, frc + 1) - lo, 0)
             j = jnp.arange(fanout, dtype=i32)
-            u = jax.random.uniform(khop[h], (FC, fanout))
-            # host rule: whole neighborhood when deg <= fanout, else
-            # `fanout` with-replacement draws
-            cols = jnp.where(
-                (deg <= fanout)[:, None],
-                jnp.broadcast_to(j, (FC, fanout)),
-                (u * deg[:, None]).astype(i32))
-            cols = jnp.minimum(cols, jnp.maximum(deg[:, None] - 1, 0))
+            # WINDOW DRAW (r4): whole neighborhood when deg <= fanout
+            # (window start 0, validity mask), else a uniform-start
+            # contiguous window of the ONCE-SHUFFLED neighbor list.
+            # Estimator notes vs the host's iid with-replacement rule:
+            # draws are without replacement (a strict improvement);
+            # neighbors adjacent in the fixed shuffle co-occur across
+            # steps (correlated batches), and clamping the start to
+            # [0, deg-fanout] under-weights each list's 2*(fanout-1)
+            # endpoint positions — both map to a RANDOM fixed subset per
+            # node (the shuffle is seed-derived), are diluted by degree
+            # (config #4 avg degree 200), and are validated end-to-end by
+            # the device-vs-host learning gate
+            # (tests/test_device_vs_host_learning.py).
+            u = jax.random.uniform(khop[h], (FC,))
+            start = jnp.where(
+                deg <= fanout, 0,
+                (u * (deg - fanout + 1).astype(jnp.float32)).astype(i32))
+            pos0 = lo + start  # absolute start in the flat shuffled list
+            row0 = pos0 // 16
+            # two aligned 16-rows cover any window of <= 16 elements
+            rows = jnp.stack([row0, row0 + 1], axis=1)  # [FC, 2]
+            flat = jnp.take(
+                consts.adj_dst, jnp.clip(rows, 0, ER - 1), axis=0
+            ).reshape(FC, 32)  # [FC, 32]
+            # one-hot select of window positions (p..p+fanout) — VPU
+            # streams, no per-element gather
+            p = (pos0 % 16)[:, None, None]  # [FC, 1, 1]
+            k = jnp.arange(32, dtype=i32)[None, :, None]
+            sel = (k == p + j[None, None, :])  # [FC, 32, fanout]
+            es = jnp.sum(
+                jnp.where(sel, flat[:, :, None], 0), axis=1).astype(i32)
             ev = j[None, :] < deg[:, None]
-            es = jnp.take(
-                consts.adj_dst,
-                jnp.clip(lo[:, None] + cols, 0, E - 1)).astype(i32)
             es = jnp.where(ev, es, N)
             es_bufs.append(es.reshape(-1))
             frs.append(fr)  # edge dst == frontier node (broadcast later)
             if h >= self.n_node_hops:
                 continue  # edge-only hop: no dedup, no budget, no frontier
-            cand = jnp.where(
-                ev & ~jnp.take(seen, jnp.minimum(es, N)), es, N).reshape(-1)
-            uvals, ucount = sorted_unique(cand, N)
+            # JOIN-DEDUP (r4): one sort over (already-kept nodes, candidates)
+            # on the composite key id*2+flag replaces the r3 `seen` bitmap —
+            # its init/update scatters and the [FC*fanout] seen-gather were
+            # the hop's most expensive ops (scatters/element-gathers bench
+            # 0.3-0.7 ms vs 0.2 ms for a 45K sort on this chip). A node
+            # already kept sorts FIRST within its id group (flag 0), so a
+            # candidate occurrence is NEW iff it is the first occurrence of
+            # its id AND carries flag 1 — bit-identical node sets and
+            # ascending-prefix budget semantics to the seen-bitmap version.
+            prev = (jnp.concatenate(node_segs) if len(node_segs) > 1
+                    else node_segs[0])
+            joint = jnp.concatenate(
+                [prev * 2, es.reshape(-1) * 2 + 1])
+            xs = jnp.sort(joint)
+            ids = xs >> 1
+            m_new = ((xs < 2 * N) & (xs & 1 == 1) & jnp.concatenate(
+                [jnp.ones(1, bool), ids[1:] != ids[:-1]]))
+            rank = jnp.cumsum(m_new.astype(i32))
+            ucount = rank[-1]
             keep = jnp.minimum(ucount, D - total)
             NF = self.fcaps[h + 1]
-            newf = jnp.where(jnp.arange(NF) < keep, uvals[:NF], N)
+            newf = jnp.sort(
+                jnp.where(m_new & (rank <= keep), ids, N))[:NF]
+            newf = jnp.where(jnp.arange(NF) < keep, newf, N)
             hop_dropped += ucount - keep
-            seen = seen.at[newf].set(True)
             node_segs.append(newf)
             total += keep
             frontier = newf
@@ -344,8 +402,11 @@ class DeviceSampler:
         # compaction the r3 pipeline did with segment arithmetic over [D].
         nodes_b = jnp.concatenate(node_segs)  # [M]
         M = int(nodes_b.shape[0])
-        valid_b = nodes_b < N
-        bvalid = valid_b & (jnp.cumsum(valid_b) <= D)  # drug budget
+        # drug budget needs no cumsum here: seeds fit by construction
+        # (drug_budget >= pair_cap*2, hierarchical.py cap setup) and every
+        # hop segment was already rank-truncated to keep <= D - total, so
+        # the valid count over node_segs can never exceed D.
+        bvalid = valid_b = nodes_b < N
         nb_c = jnp.minimum(nodes_b, N - 1)
         # edge-cap prefix truncation (BFS order, seeds first — host line
         # hierarchical.py:567)
@@ -380,16 +441,25 @@ class DeviceSampler:
         ncap_dropped = (jnp.sum(ecv) - jnp.sum(fits)).astype(i32)
         n_real = jnp.sum(fits).astype(i32)
         slot_w = jnp.where(fits, slot_b, D)  # D = drop row
-        nodes_out = jnp.zeros(D, i32).at[slot_w].set(
-            nodes_b, mode="drop")
-        off = jnp.full(D, self.NC, i32).at[slot_w].set(off_b, mode="drop")
+        # ONE row scatter fills nodes+off together (scatters pay ~0.3-0.7 ms
+        # per op on this chip regardless of width — r4 probe)
+        init2 = jnp.stack([jnp.zeros(D, i32), jnp.full(D, self.NC, i32)], 1)
+        out2 = init2.at[slot_w].set(
+            jnp.stack([nodes_b, off_b], 1), mode="drop")
+        nodes_out, off = out2[:, 0], out2[:, 1]
 
-        # block_slot0[b] = #{slots : off//128 < b} (off non-decreasing)
+        # block_slot0[b] = #{slots : off//128 < b}. Slot order is
+        # class-major with per-class arithmetic layout, so the count is
+        # closed-form per class — sum_c min((b - B0_c)^+ * pb_c, cnt_c),
+        # capped at n_real (node-cap drop is a slot-suffix) — one [nb+1, C]
+        # elementwise pass instead of the r3 histogram scatter + cumsum.
         nblocks = self.NC // 128
-        blk = jnp.where(fits, off_b // 128, nblocks)
-        hist = jnp.zeros(nblocks + 1, i32).at[blk].add(fits.astype(i32))
-        block_slot0 = jnp.concatenate(
-            [jnp.zeros(1, i32), jnp.cumsum(hist)[:-1]])
+        Bq = jnp.arange(nblocks + 1, dtype=i32)[:, None]
+        B0 = (base // 128)[None, :]
+        per_cls = jnp.minimum(
+            jnp.clip(Bq - B0, 0, blocks[None, :].astype(i32)) * pb[None, :],
+            cnt[None, :])
+        block_slot0 = jnp.minimum(per_cls.sum(axis=1), n_real).astype(i32)
 
         # local slot ids; invalid rows write the sentinel VALUE D into the
         # sentinel ROW N, so local[N] stays D
@@ -400,9 +470,18 @@ class DeviceSampler:
         # 5. outer subgraph (module docstring, change 3) -------------------
         es = jnp.concatenate(es_bufs)
         la = jnp.take(local, jnp.minimum(es, N))
+        # frontier slots by SLICE, not lookup: hop h's frontier is the
+        # fcaps[h]-prefix of node seg min(h, n_node_hops) (edge-only hops
+        # reuse the last node seg), and slot_w is ordered exactly like
+        # concat(node_segs), so the id->slot gather through `local` is a
+        # positional slice of slot_w (r4 op-count cut).
+        seg_off = np.cumsum(
+            [0] + [int(s.shape[0]) for s in node_segs]).tolist()
         lb = jnp.concatenate([
             jnp.broadcast_to(
-                jnp.take(local, jnp.minimum(fr, N))[:, None],
+                jax.lax.dynamic_slice_in_dim(
+                    slot_w, seg_off[min(h, len(node_segs) - 1)],
+                    fr.shape[0])[:, None],
                 (fr.shape[0], self.fanouts[h])).reshape(-1)
             for h, fr in enumerate(frs)])
         ok = (la < D) & (lb < D) & (la != lb)
@@ -434,8 +513,11 @@ class DeviceSampler:
         key_l = jnp.where(slot < n_real, slot * D + slot, sent)
         key_all = jnp.concatenate([key_a, key_b, key_l])  # [L = 2U + D]
         L = int(key_all.shape[0])
-        o3 = jnp.argsort(key_all).astype(i32)
-        ks = jnp.take(key_all, o3)
+        # one two-operand stable sort gives keys AND permutation together
+        # (argsort-then-gather pays an extra [L] element gather, ~0.3 ms
+        # on this chip — r4 probe)
+        ks, o3 = jax.lax.sort(
+            (key_all, jnp.arange(L, dtype=i32)), num_keys=1)
         vale = ks < sent
         sv_s = jnp.where(vale, ks // D, D)
         su_s = jnp.where(vale, ks % D, 0)

@@ -5,6 +5,11 @@ individual op costs; this probe times PREFIXES of the real pipeline so the
 differences expose true per-stage costs at config #4.
 
 Run on the TPU: python scripts/probe_sampler_prefix.py
+
+NOTE: this probe snapshots the r3 pipeline for comparison; the product
+sampler (data/device_sampler.py) has since moved to window sampling over a
+16-aligned shuffled adjacency and join-dedup. The flat adjacency here is
+recovered by reshape so the r3 measurements stay reproducible.
 """
 from __future__ import annotations
 
@@ -39,7 +44,8 @@ def main():
     N, D, C = dev.N, dev.D, dev.C
     i32 = jnp.int32
     key0 = dev.key_at(0, 0)
-    E = int(consts.adj_dst.shape[0])
+    adj_flat = consts.adj_dst.reshape(-1)
+    E = int(adj_flat.shape[0])
     print(f"E(adj)={E}", flush=True)
 
     def sorted_unique(x, sent):
@@ -90,7 +96,7 @@ def main():
                              (u * deg[:, None]).astype(i32))
             cols = jnp.minimum(cols, jnp.maximum(deg[:, None] - 1, 0))
             ev = j[None, :] < deg[:, None]
-            es = jnp.take(consts.adj_dst,
+            es = jnp.take(adj_flat,
                           jnp.clip(lo[:, None] + cols, 0, E - 1)).astype(i32)
             es = jnp.where(ev, es, N)
             ed = jnp.where(ev, jnp.broadcast_to(fr[:, None], (FC, fanout)), N)

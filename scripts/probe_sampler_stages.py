@@ -6,6 +6,11 @@ with the roofline harness (timed_scan), plus prints the LIVE counts
 prunable. Round-4 perf work (VERDICT item 1) starts from this data.
 
 Run on the TPU: python scripts/probe_sampler_stages.py
+
+NOTE: this probe snapshots the r3 pipeline for comparison; the product
+sampler (data/device_sampler.py) has since moved to window sampling over a
+16-aligned shuffled adjacency and join-dedup. The flat adjacency here is
+recovered by reshape so the r3 measurements stay reproducible.
 """
 from __future__ import annotations
 
@@ -75,7 +80,8 @@ def main():
     seen = jnp.zeros(N + 1, bool).at[seeds].set(True)
     total = jnp.minimum(n_seeds, D)
     frontier = seeds[: dev.fcaps[0]]
-    E = int(consts.adj_dst.shape[0])
+    adj_flat = consts.adj_dst.reshape(-1)
+    E = int(adj_flat.shape[0])
     es_sizes = []
     for h, fanout in enumerate(dev.fanouts):
         FC = dev.fcaps[h]
@@ -91,7 +97,7 @@ def main():
                          (u * deg[:, None]).astype(i32))
         cols = jnp.minimum(cols, jnp.maximum(deg[:, None] - 1, 0))
         ev = j[None, :] < deg[:, None]
-        es = jnp.take(consts.adj_dst,
+        es = jnp.take(adj_flat,
                       jnp.clip(lo[:, None] + cols, 0, E - 1)).astype(i32)
         es = jnp.where(ev, es, N)
         cand = jnp.where(
