@@ -155,7 +155,28 @@ class DeviceSampler:
         # can only contribute outer edges), and hops past the first
         # edge-only hop are statically skipped (their frontier would be
         # all-sentinel -> zero candidates in the r3 pipeline too).
-        self.n_node_hops = self._calibrate_node_hops(s)
+        qn = np.diff(s._mol_qptr).astype(np.int32)
+        sizes = np.unique(qn[qn > 0])
+        if sizes.size == 0 or int(sizes.max()) > 128:
+            raise ValueError("class packer needs 0 < quantized size <= 128")
+        cls_of_size = np.zeros(int(sizes.max()) + 1, np.int32)
+        cls_of_size[sizes] = np.arange(len(sizes), dtype=np.int32)
+        self.C = int(len(sizes))
+        self._qn_np = qn
+        self._cls_of_size_np = cls_of_size
+        self._class_pb_np = (128 // sizes).astype(np.int32)
+
+        self.n_node_hops, nc_dev = self._calibrate_node_hops(s)
+        # DEVICE-CALIBRATED node cap (r4): the host NC was calibrated
+        # against the host greedy first-fit packer; the class packer's
+        # extent is closed-form in the per-class counts and ~10% tighter at
+        # config-#4 scale (500K -> ~450K rows). Every NC-proportional step
+        # cost (block-adjacency build + its 4 pass reads, inner MLP matmuls,
+        # expansion writes and feature-gather rows) shrinks with it.
+        # Overflow beyond the calibrated max stays a counted suffix
+        # truncation (ncap_dropped), exactly like the host's statistical
+        # caps.
+        self.NC = min(self.NC, nc_dev)
         self.active_hops = min(len(self.fanouts), self.n_node_hops + 1)
         # undirected dedup cap: su/sv = both directions + D self loops must
         # fit the host-calibrated outer_edge_cap exactly; also bounded by
@@ -170,14 +191,10 @@ class DeviceSampler:
                 "plus one undirected pair in both directions")
         self.idt = jnp.int16 if self.D <= np.iinfo(np.int16).max else jnp.int32
 
-        qn = np.diff(s._mol_qptr).astype(np.int32)
+        qn = self._qn_np
         qe = np.diff(s._tbl_eptr).astype(np.int32)
+        cls_of_size = self._cls_of_size_np
         sizes = np.unique(qn[qn > 0])
-        if sizes.size == 0 or int(sizes.max()) > 128:
-            raise ValueError("class packer needs 0 < quantized size <= 128")
-        cls_of_size = np.zeros(int(sizes.max()) + 1, np.int32)
-        cls_of_size[sizes] = np.arange(len(sizes), dtype=np.int32)
-        self.C = int(len(sizes))
         # WINDOW SAMPLING layout (r4): each node's neighbor list is
         # shuffled ONCE (deterministic in seed) and stored as 16-aligned
         # int32 rows. A fanout draw then takes a random CONTIGUOUS window
@@ -215,15 +232,18 @@ class DeviceSampler:
         return jax.random.fold_in(k, step)
 
     def _calibrate_node_hops(self, s, draws: int = 6,
-                             margin: float = 1.3) -> int:
-        """Number of hops that must run the node-adding (dedup + budget)
-        path; trailing hops are edge-only.
+                             margin: float = 1.3) -> tuple[int, int]:
+        """(node hops, device-calibrated node cap).
 
-        Simulates ``draws`` full hierarchical draws in NumPy (statistics
-        only — no coupling to the device RNG streams) and returns the
-        smallest h such that after hop h-1 the drug budget D was saturated
-        in EVERY draw with ``margin``x more unique candidates available
-        than budget remained. Deterministic in (seed, dataset), so resume
+        Node hops: the number of hops that must run the node-adding
+        (dedup + budget) path; trailing hops are edge-only — the smallest h
+        such that after hop h-1 the drug budget D was saturated in EVERY
+        draw with ``margin``x more unique candidates available than budget
+        remained. Node cap: the max CLASS-PACK extent (sum_c 128 *
+        ceil(n_c / pb_c) over the kept node set) across the simulated
+        draws, with 5% + one-block headroom. Simulates ``draws`` full
+        hierarchical draws in NumPy (statistics only — no coupling to the
+        device RNG streams); deterministic in (seed, dataset), so resume
         and cross-process draws stay exact."""
         ptr = np.asarray(s._adj_ptr, np.int64)
         adj = np.asarray(s._adj_dst, np.int64)
@@ -231,6 +251,7 @@ class DeviceSampler:
         H = len(self.fanouts)
         rng = np.random.default_rng(self.seed + 0x5EED)
         sat = np.full(H, True)
+        max_ext = 0
         for _ in range(draws):
             bs = self.batch_size
             pos = tp[rng.integers(0, len(tp), bs)]
@@ -265,10 +286,18 @@ class DeviceSampler:
                 seen[newf] = True
                 total += keep
                 frontier = newf[: self.fcaps[h + 1]]
+            kept = np.flatnonzero(seen)[: self.D]
+            cls = self._cls_of_size_np[self._qn_np[kept]]
+            cnt = np.bincount(cls, minlength=self.C)
+            ext = int((128 * -(-cnt // self._class_pb_np)).sum())
+            max_ext = max(max_ext, ext)
+        nc_dev = -(-int(max_ext * 1.05 + 128) // 128) * 128
+        n_node_hops = H
         for h in range(H):
             if sat[h]:
-                return h + 1
-        return H
+                n_node_hops = h + 1
+                break
+        return n_node_hops, nc_dev
 
     # -- the jittable draw -------------------------------------------------
     def sample(self, consts: SamplerConsts, key: jax.Array):

@@ -64,7 +64,8 @@ def _block_adj_kernel(
     weighted: bool,
     program_rows: int,
 ):
-    cdt = (jnp.bfloat16 if out_ref.dtype == jnp.bfloat16 else jnp.float32)
+    cdt = (jnp.bfloat16 if out_ref.dtype in (jnp.bfloat16, jnp.int8)
+           else jnp.float32)
     prec = (jax.lax.Precision.DEFAULT if cdt == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
     sub = program_rows // BLOCK_ROWS

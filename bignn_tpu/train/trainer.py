@@ -552,8 +552,15 @@ class MinibatchTrainer:
                 dt = self.model.compute_dtype
                 cnt = adj = None
                 if kinds & {"gin", "gat", "dotattn"}:
+                    # int8 storage: counts are small integers, and every
+                    # consumer either compares (cnt > 0), promotes
+                    # (cnt * exp), or casts inside block_diag_spmm — the
+                    # int8->bf16 convert fuses into the batched dot, so the
+                    # [NC, 128] adjacency's HBM traffic (1 write + 4 pass
+                    # reads per step) drops 2x vs bf16 (measured -12% per
+                    # pass, scripts/probe_int8_adj.py)
                     cnt = jax.lax.stop_gradient(block_adjacency(
-                        edge_src, edge_dst, None, estarts, NC, dt))
+                        edge_src, edge_dst, None, estarts, NC, jnp.int8))
                 if "gcn" in kinds:
                     adj = jax.lax.stop_gradient(block_adjacency(
                         edge_src, edge_dst, edge_w, estarts, NC, dt))
