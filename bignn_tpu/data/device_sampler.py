@@ -226,6 +226,46 @@ class DeviceSampler:
         """NumPy constants; callers jax.device_put once."""
         return self._consts_np
 
+    def reshuffle_adj(self, consts: SamplerConsts, epoch: int):
+        """Epoch-fresh segmented shuffle of the neighbor lists.
+
+        Window draws (sample()) take contiguous runs of the shuffled
+        adjacency, so neighbors adjacent in one shuffle co-occur across
+        every step drawn from it. Re-shuffling once per epoch (pure
+        function of (seed, epoch) — resume stays exact at the trainer's
+        epoch-granular restore points) rotates that co-occurrence
+        structure. Implementation: one two-operand sort of the flat
+        adjacency by (owner, fresh 14-bit random); owners are recovered
+        from the CSR pointers with a scatter-max + cummax (no
+        searchsorted), padding is forced to the tail. ~one [E] sort per
+        epoch, amortized over the epoch's steps. Epoch 0 returns the
+        init-time shuffle unchanged.
+        """
+        if int(epoch) == 0:
+            return consts
+        if not hasattr(self, "_shuf_fn"):
+            E16 = int(consts.adj_dst.size)
+            E = int(self.host._adj_dst.shape[0])
+            i32 = jnp.int32
+
+            def shuf(adj_ptr, flat, ep):
+                starts = jnp.zeros(E16, i32).at[adj_ptr[:-1]].max(
+                    jnp.arange(self.N, dtype=i32), mode="drop")
+                owner = jax.lax.cummax(starts)
+                kr = jax.random.randint(
+                    jax.random.fold_in(
+                        jax.random.key(self.seed ^ 0x5FFE), ep),
+                    (E16,), 0, 16384, dtype=i32)
+                key = owner * 16384 + kr
+                key = jnp.where(
+                    jnp.arange(E16) < E, key, jnp.int32(2**31 - 1))
+                _, shuffled = jax.lax.sort((key, flat), num_keys=1)
+                return shuffled.reshape(-1, 16)
+
+            self._shuf_fn = jax.jit(shuf)
+        return consts._replace(adj_dst=self._shuf_fn(
+            consts.adj_ptr, consts.adj_dst.reshape(-1), epoch))
+
     def key_at(self, epoch: int, step) -> jax.Array:
         """The (seed, epoch, step)-derived PRNG key (fold_in chain)."""
         k = jax.random.fold_in(jax.random.key(self.seed), epoch)

@@ -865,6 +865,13 @@ class MinibatchTrainer:
     def _fit_epoch_device(self, params, opt_state, epoch, n_steps):
         """One epoch over the device-sampling scan; losses and truncation
         stats stay on device until the epoch ends (no per-chunk D2H)."""
+        # epoch-fresh neighbor-list shuffle (window-draw decorrelation,
+        # DeviceSampler.reshuffle_adj): pure function of (seed, epoch), so
+        # the epoch-granular resume path re-derives it exactly
+        if not hasattr(self, "_dev_consts_base"):
+            self._dev_consts_base = self._dev_consts
+        self._dev_consts = self.dsampler.reshuffle_adj(
+            self._dev_consts_base, epoch)
         K = max(1, self.dispatch_chunk)
         loss_chunks, stat_chunks = [], []
         step = 0
