@@ -215,3 +215,70 @@ def test_edge_only_hop_calibration():
                                      fanouts=(2,), seed=0, calibrate_caps=4)
     dev_roomy = DeviceSampler(host_roomy)
     assert dev_roomy.n_node_hops == 1
+
+
+def test_window_draw_coverage(setup):
+    """Window draws (r4) must reach EVERY neighbor of every drawn node
+    over enough steps: the shuffled-list window start is uniform, so no
+    train edge may be unreachable. Collects sampled outer edges over many
+    draws and checks that each frequently-sampled seed-adjacent node's
+    neighborhood is fully covered."""
+    ds, host, dev, consts, sample = setup
+    train = ds.split_edges("train")
+    adj = {}
+    for a, b in train:
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    seen_pairs = set()
+    drawn = {}
+    for step in range(40):
+        cb, _ = _draw(dev, consts, sample, 0, step)
+        n = int(cb.n_real)
+        nodes = cb.nodes[: n].astype(np.int64)
+        od = cb.outer_dst.astype(np.int64)
+        live = od < dev.D
+        gs = nodes[cb.outer_src.astype(np.int64)[live]]
+        gd = nodes[od[live]]
+        for a, b in zip(gs, gd):
+            if a != b:
+                seen_pairs.add((int(a), int(b)))
+        for x in nodes:
+            drawn[int(x)] = drawn.get(int(x), 0) + 1
+    # nodes drawn in (nearly) every step had 40 windows over their list:
+    # coverage of their full neighborhood is overwhelmingly likely; a
+    # miss means windows cannot reach part of the list (an indexing bug)
+    hot = [x for x, c in drawn.items() if c >= 35 and len(adj.get(x, ())) > 0]
+    assert hot, "fixture should have frequently-drawn nodes"
+    for x in hot:
+        nbrs = {b for b in adj[x] if drawn.get(b, 0) >= 35}
+        covered = {b for (a, b) in seen_pairs if a == x}
+        missing = nbrs - covered
+        assert not missing, (x, sorted(missing))
+
+
+def test_reshuffle_adj_invariants(setup):
+    """Per-epoch reshuffle permutes WITHIN each node's neighbor segment:
+    the per-node neighbor multiset is invariant, the order changes for
+    some multi-neighbor node, and the result is deterministic in epoch."""
+    _, host, dev, consts, _ = setup
+    ptr = np.asarray(host._adj_ptr)
+    base = np.asarray(consts.adj_dst).reshape(-1)
+    r1 = np.asarray(dev.reshuffle_adj(consts, 3).adj_dst).reshape(-1)
+    r1b = np.asarray(dev.reshuffle_adj(consts, 3).adj_dst).reshape(-1)
+    r2 = np.asarray(dev.reshuffle_adj(consts, 4).adj_dst).reshape(-1)
+    np.testing.assert_array_equal(r1, r1b)
+    assert not np.array_equal(r1, r2)
+    E = int(ptr[-1])
+    changed = False
+    for k in range(len(ptr) - 1):
+        lo, hi = int(ptr[k]), int(ptr[k + 1])
+        np.testing.assert_array_equal(
+            np.sort(base[lo:hi]), np.sort(r1[lo:hi]), err_msg=f"node {k}")
+        if hi - lo > 1 and not np.array_equal(base[lo:hi], r1[lo:hi]):
+            changed = True
+    assert changed
+    # epoch 0 is the identity (init-time shuffle)
+    np.testing.assert_array_equal(
+        np.asarray(dev.reshuffle_adj(consts, 0).adj_dst).reshape(-1), base)
+    # padding tail intact (sorted to the end as zeros)
+    np.testing.assert_array_equal(r1[E:], base[E:])
