@@ -165,6 +165,26 @@ class DeviceSampler:
         self._qn_np = qn
         self._cls_of_size_np = cls_of_size
         self._class_pb_np = (128 // sizes).astype(np.int32)
+        self._class_size_np = sizes.astype(np.int32)
+        # MIXED-CLASS packing statics: each class c's per-block leftover
+        # (128 - pb_c*s_c) hosts fillers of the LARGEST smaller class
+        # whose size fits (gidx[c]; -1 when none fits). fpb[c] = fillers
+        # per class-c block; client_mask[g, c] marks c as a client of g.
+        C0 = len(sizes)
+        leftover = 128 - self._class_pb_np * self._class_size_np
+        gidx = np.full(C0, -1, np.int32)
+        fpb = np.zeros(C0, np.int32)
+        for c in range(C0):
+            fits_g = np.flatnonzero(
+                (self._class_size_np[:c] <= leftover[c]))
+            if len(fits_g):
+                g = int(fits_g[-1])
+                gidx[c] = g
+                fpb[c] = leftover[c] // self._class_size_np[g]
+        self._gidx_np = gidx
+        self._fpb_np = fpb
+        self._client_mask_np = (
+            gidx[None, :] == np.arange(C0, dtype=np.int32)[:, None])
 
         self.n_node_hops, nc_dev = self._calibrate_node_hops(s)
         # DEVICE-CALIBRATED node cap (r4): the host NC was calibrated
@@ -227,19 +247,23 @@ class DeviceSampler:
         return self._consts_np
 
     def reshuffle_adj(self, consts: SamplerConsts, epoch: int):
-        """Epoch-fresh segmented shuffle of the neighbor lists.
+        """Epoch-fresh segmented shuffle of the neighbor lists (pure
+        function of (seed, epoch); epoch 0 = the init shuffle).
 
-        Window draws (sample()) take contiguous runs of the shuffled
-        adjacency, so neighbors adjacent in one shuffle co-occur across
-        every step drawn from it. Re-shuffling once per epoch (pure
-        function of (seed, epoch) — resume stays exact at the trainer's
-        epoch-granular restore points) rotates that co-occurrence
-        structure. Implementation: one two-operand sort of the flat
-        adjacency by (owner, fresh 14-bit random); owners are recovered
-        from the CSR pointers with a scatter-max + cummax (no
-        searchsorted), padding is forced to the tail. ~one [E] sort per
-        epoch, amortized over the epoch's steps. Epoch 0 returns the
-        init-time shuffle unchanged.
+        MEASURED DEAD END as a default (r4): wiring this into the
+        trainer's epoch loop HURT learning at config #4 — 4x500 steps
+        reached test AUC 0.567 with a loss spike at an epoch boundary vs
+        0.635 with the fixed init-time shuffle (the per-epoch
+        co-occurrence shift perturbs Adam's moment estimates at the
+        config's borderline lr), while the fixed-shuffle window estimator
+        already BEATS the host iid estimator at equal step budget
+        (docs/CONFIG4_LEARNING_r4.txt). Kept as a tested building block
+        for long-horizon runs that want explicit decorrelation.
+
+        Implementation: one two-operand sort of the flat adjacency by
+        (owner, fresh 14-bit random); owners are recovered from the CSR
+        pointers with a scatter-max + cummax (no searchsorted), padding
+        is forced to the tail. ~one [E] sort per call.
         """
         if int(epoch) == 0:
             return consts
@@ -329,7 +353,20 @@ class DeviceSampler:
             kept = np.flatnonzero(seen)[: self.D]
             cls = self._cls_of_size_np[self._qn_np[kept]]
             cnt = np.bincount(cls, minlength=self.C)
-            ext = int((128 * -(-cnt // self._class_pb_np)).sum())
+            # mixed-class extent: mirror of sample()'s descending-order
+            # resolution (a class's filler demand comes only from larger
+            # classes)
+            pbn = self._class_pb_np
+            fpbn = self._fpb_np
+            gx = self._gidx_np
+            blocks = np.zeros(self.C, np.int64)
+            for c in range(self.C - 1, -1, -1):
+                demand = sum(int(blocks[c2]) * int(fpbn[c2])
+                             for c2 in range(c + 1, self.C)
+                             if gx[c2] == c)
+                own_c = int(cnt[c]) - min(int(cnt[c]), demand)
+                blocks[c] = -(-own_c // int(pbn[c]))
+            ext = int(128 * blocks.sum())
             max_ext = max(max_ext, ext)
         nc_dev = -(-int(max_ext * 1.05 + 128) // 128) * 128
         n_node_hops = H
@@ -483,9 +520,20 @@ class DeviceSampler:
         ecv = bvalid & (jnp.cumsum(eq) <= self.EC)
         ecap_dropped = (jnp.sum(bvalid) - jnp.sum(ecv)).astype(i32)
 
-        # 4. class-packed layout (no argsort — module docstring, change 2):
-        # stable rank within each size class via one [M, C] one-hot cumsum,
-        # then scatters build the slot-ordered outputs directly.
+        # 4. MIXED-CLASS packed layout (r4): stable rank within each size
+        # class via one [M, C] one-hot cumsum, then closed-form offsets.
+        # Each block of a class c >= 1 reserves its leftover rows
+        # (128 - pb_c*s_c) for floor(leftover / s_0) FILLER molecules of
+        # the smallest class; class-0 molecules fill those positions in
+        # class-base order before falling back to their own end-of-layout
+        # blocks. Pure arithmetic over [C]/[M, C] — no new sorts or
+        # scatters vs the unmixed packer — and the packed extent drops
+        # ~5% at config #4 (the per-block waste moves from dead rows to
+        # real molecules). Slot ids enumerate molecules in OFFSET order
+        # (block-major, fillers after the block's own-class extent), so
+        # off stays non-decreasing over slot order and node-cap overflow
+        # stays a pure suffix drop — the two invariants _expand_compact
+        # and the ncap accounting require.
         qn_b = jnp.where(ecv, jnp.take(consts.qn, nb_c), 0)
         cls_b = jnp.where(
             ecv, jnp.take(consts.cls_of_size, jnp.minimum(
@@ -496,16 +544,70 @@ class DeviceSampler:
         cidx = jnp.minimum(cls_b, C - 1)
         rank0 = jnp.take_along_axis(ranks, cidx[:, None], axis=1)[:, 0] - 1
         pb = consts.class_pb
-        blocks = -(-cnt // pb)
+        sz = consts.class_size
+        # Resolve the mixed layout in DESCENDING class order: a class's
+        # filler demand comes only from LARGER classes (gidx[c] < c), so
+        # used/own/blocks are well-defined scalars after one static
+        # C-length unrolled loop. All remaining bookkeeping is [C]/[C, C]
+        # arithmetic (C ~ 10).
+        gx = self._gidx_np  # static: filler class per class, -1 if none
+        fpb_np = self._fpb_np  # static: fillers per block
+        blocks_l = [None] * C
+        used_l = [jnp.zeros((), i32) for _ in range(C)]
+        own_l = [None] * C
+        for c in range(C - 1, -1, -1):
+            demand = sum((blocks_l[c2] * int(fpb_np[c2])
+                          for c2 in range(c + 1, C) if gx[c2] == c),
+                         jnp.zeros((), i32))
+            used_l[c] = jnp.minimum(cnt[c], demand)
+            own_l[c] = cnt[c] - used_l[c]
+            blocks_l[c] = -(-own_l[c] // int(self._class_pb_np[c]))
+        used = jnp.stack(used_l)
+        own = jnp.stack(own_l)
+        blocks = jnp.stack(blocks_l)
+        fpb = jnp.asarray(fpb_np)
+        cap = blocks * fpb  # filler capacity hosted per class
         base = 128 * (jnp.cumsum(blocks) - blocks)
-        pos0 = jnp.cumsum(cnt) - cnt
+        # fill_c: fillers actually hosted in class c's blocks. Class g's
+        # pool serves its clients in ascending-base order: exclusive
+        # cumsum of cap over each g's client set (static [C, C] mask).
+        Wg = jnp.asarray(self._client_mask_np)  # [g, c] bool
+        capW = jnp.where(Wg, cap[None, :], 0)  # [C, C]
+        capxW = jnp.cumsum(capW, axis=1) - capW  # exclusive per row
+        fill_by = jnp.clip(used[:, None] - capxW, 0, capW)  # [g, c]
+        fill = jnp.sum(fill_by, axis=0)  # [C] fillers hosted in class c
+        occ = own + fill
+        slotbase = jnp.cumsum(occ) - occ
+        # own molecules (rank >= used): standard placement, fill-aware slot
+        ro = rank0 - jnp.take(used, cidx)
         pbc = jnp.take(pb, cidx)
-        off_b = (jnp.take(base, cidx) + (rank0 // pbc) * 128
-                 + (rank0 % pbc) * jnp.take(consts.class_size, cidx))
-        slot_b = jnp.take(pos0, cidx) + rank0  # class-major slot id
-        # off + qn is NON-DECREASING over slot order (classes ascend by
-        # size), so node-cap overflow is a pure suffix drop in slot space:
-        # prefix validity — which _expand_compact requires — is preserved.
+        fc = jnp.take(fpb, cidx)
+        kb = ro // jnp.maximum(pbc, 1)
+        mb = ro % jnp.maximum(pbc, 1)
+        off_own = jnp.take(base, cidx) + kb * 128 + mb * jnp.take(sz, cidx)
+        slot_own = (jnp.take(slotbase, cidx) + kb * pbc
+                    + jnp.minimum(jnp.take(fill, cidx), kb * fc) + mb)
+        # filler molecules (rank < used): client class via this class's
+        # capacity windows ([M, C] compare against row cidx of capxW)
+        capx_row = jnp.take(capxW, cidx, axis=0)  # [M, C]
+        capW_row = jnp.take(capW, cidx, axis=0)
+        inc = ((rank0[:, None] >= capx_row)
+               & (rank0[:, None] < capx_row + capW_row))
+        cf = jnp.argmax(inc, axis=1).astype(i32)  # client class
+        qf = rank0 - jnp.take_along_axis(
+            capx_row, cf[:, None], axis=1)[:, 0]
+        ff = jnp.maximum(jnp.take(fpb, cf), 1)
+        kf = qf // ff
+        mf = qf % ff
+        off_f = (jnp.take(base, cf) + kf * 128
+                 + jnp.take(pb, cf) * jnp.take(sz, cf)
+                 + mf * jnp.take(sz, cidx))
+        slot_f = (jnp.take(slotbase, cf)
+                  + jnp.minimum(jnp.take(own, cf), (kf + 1) * jnp.take(pb, cf))
+                  + kf * ff + mf)
+        isfill = rank0 < jnp.take(used, cidx)
+        off_b = jnp.where(isfill, off_f, off_own)
+        slot_b = jnp.where(isfill, slot_f, slot_own)
         fits = ecv & (off_b + qn_b <= self.NC)
         ncap_dropped = (jnp.sum(ecv) - jnp.sum(fits)).astype(i32)
         n_real = jnp.sum(fits).astype(i32)
@@ -517,18 +619,20 @@ class DeviceSampler:
             jnp.stack([nodes_b, off_b], 1), mode="drop")
         nodes_out, off = out2[:, 0], out2[:, 1]
 
-        # block_slot0[b] = #{slots : off//128 < b}. Slot order is
-        # class-major with per-class arithmetic layout, so the count is
-        # closed-form per class — sum_c min((b - B0_c)^+ * pb_c, cnt_c),
-        # capped at n_real (node-cap drop is a slot-suffix) — one [nb+1, C]
-        # elementwise pass instead of the r3 histogram scatter + cumsum.
+        # block_slot0[b] = #{slots : off//128 < b}. The mixed layout is
+        # closed-form per class: class c >= 1 contributes its own
+        # molecules AND the fillers its first (b - B0_c)^+ blocks host;
+        # class-0 leftovers contribute from the end pool. Capped at
+        # n_real (node-cap drop is a slot-suffix) — one [nb+1, C]
+        # elementwise pass, no scatter/cumsum.
         nblocks = self.NC // 128
         Bq = jnp.arange(nblocks + 1, dtype=i32)[:, None]
         B0 = (base // 128)[None, :]
-        per_cls = jnp.minimum(
-            jnp.clip(Bq - B0, 0, blocks[None, :].astype(i32)) * pb[None, :],
-            cnt[None, :])
-        block_slot0 = jnp.minimum(per_cls.sum(axis=1), n_real).astype(i32)
+        kbq = jnp.clip(Bq - B0, 0, blocks[None, :].astype(i32))
+        per_cls = (jnp.minimum(kbq * pb[None, :], own[None, :])
+                   + jnp.minimum(kbq * fpb[None, :], fill[None, :]))
+        block_slot0 = jnp.minimum(
+            per_cls.sum(axis=1), n_real).astype(i32)
 
         # local slot ids; invalid rows write the sentinel VALUE D into the
         # sentinel ROW N, so local[N] stays D

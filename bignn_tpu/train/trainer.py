@@ -865,13 +865,16 @@ class MinibatchTrainer:
     def _fit_epoch_device(self, params, opt_state, epoch, n_steps):
         """One epoch over the device-sampling scan; losses and truncation
         stats stay on device until the epoch ends (no per-chunk D2H)."""
-        # epoch-fresh neighbor-list shuffle (window-draw decorrelation,
-        # DeviceSampler.reshuffle_adj): pure function of (seed, epoch), so
-        # the epoch-granular resume path re-derives it exactly
-        if not hasattr(self, "_dev_consts_base"):
-            self._dev_consts_base = self._dev_consts
-        self._dev_consts = self.dsampler.reshuffle_adj(
-            self._dev_consts_base, epoch)
+        # NOTE (r4, measured): per-epoch neighbor-list reshuffling
+        # (DeviceSampler.reshuffle_adj) is deliberately NOT applied here.
+        # It is mechanically sound (segment multisets invariant, tested at
+        # config-#4 scale) but measurably HURTS learning: 4x500 steps at
+        # config #4 reached test AUC 0.567 with a loss spike at an epoch
+        # boundary vs 0.635 without it (docs/CONFIG4_LEARNING_r4.txt) —
+        # the co-occurrence shift at each boundary perturbs Adam's moment
+        # estimates at the config's borderline lr. The fixed-shuffle
+        # window estimator itself BEATS the host iid estimator at equal
+        # budget, so window co-occurrence needs no mitigation.
         K = max(1, self.dispatch_chunk)
         loss_chunks, stat_chunks = [], []
         step = 0
