@@ -16,6 +16,23 @@ SpMM/segment/sampling machinery carries the load — its model-compute ceiling
 over presampled device batches, and their ratio, so the driver-recorded
 BENCH_r* tracks the sparse flagship, not just the saturated dense standin.
 
+ANCHORED ACCEPTANCE (r5, VERDICT r4 weak #1/#4): the attached tunnel chip's
+primitive rates swing 10-30% run to run, so single point values made the
+>=120M ceiling bar pass or fail depending on which run you read. The line
+now also carries:
+  - ``anchor_stream_gbps`` / ``anchor_matmul_tflops``: THIS run's measured
+    chip anchors (carry-threaded bf16 square-stream and 4096^3 matmul, the
+    same definitions as scripts/profile_roofline.py);
+  - ``config4_sustained_median`` / ``_min`` / ``_spread`` and
+    ``config4_ceiling_median`` / ``_min`` / ``_spread``: per-rep statistics
+    (spread = (max-min)/median) over the >=3 timed reps, so a reader can
+    tell a noisy run from a program change;
+  - ``config4_anchor_normalized``: the ceiling rescaled to the REFERENCE
+    anchor rates (the docs/ROOFLINE_r4.txt session: 158 GB/s stream,
+    37 TFLOP/s matmul) by the geometric mean of the two anchor ratios —
+    a chip-rate index, not a physics claim: if the raw ceiling moves but
+    anchor_normalized is stable, the chip moved, not the program.
+
 Run: python bench.py [--preset small|drugbank|large] [--steps N]
 """
 
@@ -25,6 +42,54 @@ import argparse
 import json
 import os
 import time
+
+
+# Chip anchor rates of the session that produced docs/ROOFLINE_r4.txt —
+# the fixed reference point config4_anchor_normalized rescales to.
+REF_ANCHORS = {"stream_gbps": 158.0, "matmul_tflops": 37.0}
+
+
+def measure_anchors(reps: int = 3) -> dict:
+    """This chip's primitive-rate anchors, measured inline (~2 s).
+
+    Carry-threaded scans (the array is the scan carry, so every iteration
+    must materialize — no DCE/fusion escape; same pattern as
+    scripts/profile_roofline.py timed_carry): bf16 square-stream GB/s and
+    bf16 4096^3 matmul TFLOP/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def timed_carry(f, x0, n, reps):
+        @jax.jit
+        def run(x):
+            def step(x, _):
+                return f(x), None
+            x, _ = jax.lax.scan(step, x, None, length=n)
+            return x
+
+        def force(x):
+            return np.asarray(x.ravel()[0])  # D2H fence (tunnel-safe)
+
+        force(run(x0))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force(run(x0))
+            best = min(best, (time.perf_counter() - t0) / n)
+        return best
+
+    bigh = jnp.ones(256 * 1024 * 1024 // 2, jnp.bfloat16)  # 256 MB
+    t = timed_carry(lambda x: x * x + jnp.bfloat16(1.5), bigh, n=16,
+                    reps=reps)
+    stream = 2 * bigh.nbytes / t / 1e9
+    mm = jnp.ones((4096, 4096), jnp.bfloat16)
+    t = timed_carry(
+        lambda x: (x @ x * jnp.bfloat16(1e-4)).astype(jnp.bfloat16), mm,
+        n=8, reps=reps)
+    tflops = 2 * 4096**3 / t / 1e12
+    return {"anchor_stream_gbps": round(stream, 1),
+            "anchor_matmul_tflops": round(tflops, 1)}
 
 
 def bench_config4(steps: int = 16) -> dict:
@@ -65,15 +130,16 @@ def bench_config4(steps: int = 16) -> dict:
     p_, o_ = tr.init()
     p_, o_, ls, _ = tr.train_chunk_device(p_, o_, 9, 0)  # compile + warm
     _ = float(np.asarray(ls)[-1])
-    best_dev = float("inf")
-    for rep in range(3):
+    dev_times = []
+    for rep in range(4):
         t0 = time.perf_counter()
         step = 0
         while step < steps:
             p_, o_, ls, _ = tr.train_chunk_device(p_, o_, rep, step)
             step += tr.dispatch_chunk
         _ = float(np.asarray(ls)[-1])
-        best_dev = min(best_dev, (time.perf_counter() - t0) / step)
+        dev_times.append((time.perf_counter() - t0) / step)
+    best_dev = min(dev_times)
 
     cbs = [jax.jit(dev.sample)(tr._dev_consts, dev.key_at(1, j))[0]
            for j in range(8)]
@@ -100,17 +166,31 @@ def bench_config4(steps: int = 16) -> dict:
     pp, oo = tr.init()
     _, _, dl = run_scan(pp, oo, stacked, tr.tables)
     np.asarray(dl)
-    best_scan = float("inf")
-    for _ in range(3):
+    scan_times = []
+    for _ in range(4):
         t0 = time.perf_counter()
         _, _, dl = run_scan(pp, oo, stacked, tr.tables)
         np.asarray(dl)
-        best_scan = min(best_scan, (time.perf_counter() - t0) / len(cbs))
-    return {
+        scan_times.append((time.perf_counter() - t0) / len(cbs))
+    best_scan = min(scan_times)
+
+    def stats(prefix, times):
+        rates = sorted(eps / t for t in times)
+        med = float(np.median(rates))
+        return {
+            f"{prefix}_median": round(med, 1),
+            f"{prefix}_min": round(rates[0], 1),
+            f"{prefix}_spread": round((rates[-1] - rates[0]) / med, 3),
+        }
+
+    out = {
         "config4_edges_per_s_per_chip": round(eps / best_dev, 1),
         "config4_ceiling_edges_per_s": round(eps / best_scan, 1),
         "config4_sustained_over_ceiling": round(best_scan / best_dev, 3),
     }
+    out.update(stats("config4_sustained", dev_times))
+    out.update(stats("config4_ceiling", scan_times))
+    return out
 
 
 def main() -> None:
@@ -237,9 +317,25 @@ def main() -> None:
         "unit": "edges/s/chip",
         "vs_baseline": round(vs, 3),
     }
+    try:  # chip anchors: cheap, always useful variance context
+        line.update(measure_anchors())
+    except Exception as e:
+        line["anchor_error"] = f"{type(e).__name__}: {e}"[:200]
     if args.config4:
         try:
             line.update(bench_config4())
+            if "anchor_stream_gbps" in line:
+                # rescale the ceiling to the REF_ANCHORS chip rates via the
+                # geometric mean of the two anchor ratios — a chip-rate
+                # index (module docstring), comparable run to run
+                import math
+
+                scale = math.sqrt(
+                    (REF_ANCHORS["stream_gbps"] / line["anchor_stream_gbps"])
+                    * (REF_ANCHORS["matmul_tflops"]
+                       / line["anchor_matmul_tflops"]))
+                line["config4_anchor_normalized"] = round(
+                    line["config4_ceiling_edges_per_s"] * scale, 1)
         except Exception as e:  # never lose the headline line
             line["config4_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(line))

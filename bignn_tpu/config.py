@@ -125,6 +125,25 @@ def get_config(name: str, **overrides) -> ExperimentConfig:
             mode="p2",
             graph_shards=4,
         ),
+        # 5L (r5): the edge-partitioned path AT THE SCALE THAT MOTIVATES
+        # IT — config #4's 100K-drug / 10M-outer-edge graph partitioned
+        # over 8 shards (VERDICT r4 item 1). Same model/dtype/lr recipe as
+        # config4 (bf16, lr 3e-4 — the measured-stable recipe at this
+        # scale); full-graph p2 steps, so batch counts pairs per step.
+        # Plan/balance/memory characterization: scripts/p2_scale_stats.py
+        # -> docs/P2_SCALE_r5.txt; invariants gated by
+        # tests/test_p2_scale_plan.py.
+        "config5-large": ExperimentConfig(
+            name="config5-large",
+            dataset="synthetic-large",
+            dataset_kwargs=dict(),
+            model=dataclasses.replace(
+                BiGNNConfig.full_bignn(feat_dim=32, dim=128, heads=4),
+                dtype="bfloat16"),
+            train=TrainConfig(lr=3e-4, epochs=5, batch_size=1024),
+            mode="p2",
+            graph_shards=8,
+        ),
     }
     registry["small"] = registry["config1"]
     registry["real"] = registry["config2-real"]

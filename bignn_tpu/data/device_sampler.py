@@ -137,13 +137,19 @@ class DeviceSampler:
         self.r_node = int(s.r_node)
         self.T = int(len(s.train_pairs))
         self.seed = int(s.seed)
-        # the canonical-pair dedup key is lo*D + hi < D*D in int32; the host
-        # sampler covers larger budgets in int64 (x64 is off on TPU)
-        if self.D > 46340:  # floor(sqrt(2^31 - 1))
+        # r5: canonical-pair dedup runs on TWO sort keys (lo, hi) instead of
+        # the r4 composite lo*D+hi int32 key, so the drug budget carries no
+        # D <= 46340 ceiling anymore (tests/test_device_sampler.py covers a
+        # 64K budget on CPU).
+        # Window sampling draws a contiguous window spanning at most two
+        # aligned 16-rows, so each hop's fanout must be <= 16; validate at
+        # construction (a trace-time error would surface only on the first
+        # jitted draw).
+        if any(f > 16 for f in self.fanouts):
             raise ValueError(
-                f"drug_budget {self.D} overflows the int32 pair-dedup key "
-                "space (D*D >= 2^31); cap it with max_drugs <= 46340 or use "
-                "the host sampler")
+                f"window sampling supports fanout <= 16 per hop, got "
+                f"fanouts={self.fanouts}; use the host sampler (or split "
+                "the hop) for wider fanouts")
         # per-hop frontier caps: seeds, then min(D, prev*fanout)
         caps = [min(self.pair_cap * 2, max(self.D, 1))]
         for f in self.fanouts:
@@ -186,6 +192,27 @@ class DeviceSampler:
         self._client_mask_np = (
             gidx[None, :] == np.arange(C0, dtype=np.int32)[:, None])
 
+        # WINDOW SAMPLING layout (r4): each node's neighbor list is
+        # shuffled ONCE (deterministic in seed) and stored as 16-aligned
+        # int32 rows. A fanout draw then takes a random CONTIGUOUS window
+        # of the shuffled list — two aligned row gathers + a one-hot
+        # select — instead of `fanout` independent element gathers, which
+        # at config-#4 scale cost 0.74 ms/draw of pure per-element gather
+        # latency (scripts/probe_sampler_ops.py). See sample() for the
+        # estimator notes. Built BEFORE the node-hop calibration (r5) so
+        # the calibration can simulate the REAL window-draw semantics over
+        # the same shuffled lists.
+        rng_sh = np.random.default_rng((self.seed, 0x5FFE))
+        _deg = np.diff(s._adj_ptr)
+        _owner = np.repeat(np.arange(self.N, dtype=np.int64), _deg)
+        _order = np.lexsort((rng_sh.random(len(s._adj_dst)), _owner))
+        _adj_sh = np.asarray(s._adj_dst, np.int32)[_order]
+        self._adj_sh_np = _adj_sh
+        _e16 = -(-len(_adj_sh) // 16) * 16
+        _adj2d = np.zeros(_e16, np.int32)
+        _adj2d[: len(_adj_sh)] = _adj_sh
+        self._adj2d_np = _adj2d
+
         self.n_node_hops, nc_dev = self._calibrate_node_hops(s)
         # DEVICE-CALIBRATED node cap (r4): the host NC was calibrated
         # against the host greedy first-fit packer; the class packer's
@@ -215,25 +242,9 @@ class DeviceSampler:
         qe = np.diff(s._tbl_eptr).astype(np.int32)
         cls_of_size = self._cls_of_size_np
         sizes = np.unique(qn[qn > 0])
-        # WINDOW SAMPLING layout (r4): each node's neighbor list is
-        # shuffled ONCE (deterministic in seed) and stored as 16-aligned
-        # int32 rows. A fanout draw then takes a random CONTIGUOUS window
-        # of the shuffled list — two aligned row gathers + a one-hot
-        # select — instead of `fanout` independent element gathers, which
-        # at config-#4 scale cost 0.74 ms/draw of pure per-element gather
-        # latency (scripts/probe_sampler_ops.py). See sample() for the
-        # estimator notes.
-        rng_sh = np.random.default_rng((self.seed, 0x5FFE))
-        _deg = np.diff(s._adj_ptr)
-        _owner = np.repeat(np.arange(self.N, dtype=np.int64), _deg)
-        _order = np.lexsort((rng_sh.random(len(s._adj_dst)), _owner))
-        _adj_sh = np.asarray(s._adj_dst, np.int32)[_order]
-        _e16 = -(-len(_adj_sh) // 16) * 16
-        _adj2d = np.zeros(_e16, np.int32)
-        _adj2d[: len(_adj_sh)] = _adj_sh
         self._consts_np = SamplerConsts(
             adj_ptr=s._adj_ptr.astype(np.int32),
-            adj_dst=_adj2d.reshape(-1, 16),
+            adj_dst=self._adj2d_np.reshape(-1, 16),
             train_pairs=s.train_pairs.astype(np.int32),
             qn=qn,
             qe=qe,
@@ -260,10 +271,13 @@ class DeviceSampler:
         (docs/CONFIG4_LEARNING_r4.txt). Kept as a tested building block
         for long-horizon runs that want explicit decorrelation.
 
-        Implementation: one two-operand sort of the flat adjacency by
-        (owner, fresh 14-bit random); owners are recovered from the CSR
-        pointers with a scatter-max + cummax (no searchsorted), padding
-        is forced to the tail. ~one [E] sort per call.
+        Implementation: one three-operand two-KEY sort of the flat
+        adjacency by (owner, fresh random); owners are recovered from the
+        CSR pointers with a scatter-max + cummax (no searchsorted), padding
+        is forced to the tail via owner = N. ~one [E] sort per call. (r5:
+        the r4 composite key owner*16384+kr overflowed int32 for graphs
+        with more than 131071 drugs — config #4's 100K was 25% below the
+        limit; the two-key sort removes the packing entirely.)
         """
         if int(epoch) == 0:
             return consts
@@ -276,14 +290,14 @@ class DeviceSampler:
                 starts = jnp.zeros(E16, i32).at[adj_ptr[:-1]].max(
                     jnp.arange(self.N, dtype=i32), mode="drop")
                 owner = jax.lax.cummax(starts)
+                owner = jnp.where(
+                    jnp.arange(E16) < E, owner, jnp.int32(self.N))
                 kr = jax.random.randint(
                     jax.random.fold_in(
                         jax.random.key(self.seed ^ 0x5FFE), ep),
-                    (E16,), 0, 16384, dtype=i32)
-                key = owner * 16384 + kr
-                key = jnp.where(
-                    jnp.arange(E16) < E, key, jnp.int32(2**31 - 1))
-                _, shuffled = jax.lax.sort((key, flat), num_keys=1)
+                    (E16,), 0, jnp.iinfo(jnp.int32).max, dtype=i32)
+                _, _, shuffled = jax.lax.sort(
+                    (owner, kr, flat), num_keys=2)
                 return shuffled.reshape(-1, 16)
 
             self._shuf_fn = jax.jit(shuf)
@@ -295,7 +309,7 @@ class DeviceSampler:
         k = jax.random.fold_in(jax.random.key(self.seed), epoch)
         return jax.random.fold_in(k, step)
 
-    def _calibrate_node_hops(self, s, draws: int = 6,
+    def _calibrate_node_hops(self, s, draws: int = 12,
                              margin: float = 1.3) -> tuple[int, int]:
         """(node hops, device-calibrated node cap).
 
@@ -306,11 +320,21 @@ class DeviceSampler:
         remained. Node cap: the max CLASS-PACK extent (sum_c 128 *
         ceil(n_c / pb_c) over the kept node set) across the simulated
         draws, with 5% + one-block headroom. Simulates ``draws`` full
-        hierarchical draws in NumPy (statistics only — no coupling to the
-        device RNG streams); deterministic in (seed, dataset), so resume
-        and cross-process draws stay exact."""
+        hierarchical draws in NumPy with the REAL window-draw semantics
+        (r5): contiguous windows of the once-shuffled neighbor lists
+        (without replacement), full neighborhood when deg <= fanout,
+        ascending-unique budget truncation — the same draw distribution
+        sample() runs, so the calibrated extent is an unbiased max over
+        simulated real draws rather than an iid-with-replacement proxy.
+        The simulation applies no edge-cap, which can only OVERestimate
+        the packed extent (edge-cap removes molecules before packing) —
+        conservative for a cap. Statistics only — no coupling to the
+        device RNG streams; deterministic in (seed, dataset), so resume
+        and cross-process draws stay exact. Persistent nonzero
+        ncap_dropped at train time is surfaced as a warning by
+        MinibatchTrainer (trunc_ncap_dropped counter)."""
         ptr = np.asarray(s._adj_ptr, np.int64)
-        adj = np.asarray(s._adj_dst, np.int64)
+        adj_sh = np.asarray(self._adj_sh_np, np.int64)
         tp = np.asarray(s.train_pairs, np.int64)
         H = len(self.fanouts)
         rng = np.random.default_rng(self.seed + 0x5EED)
@@ -333,14 +357,16 @@ class DeviceSampler:
             for h in range(H):
                 f = self.fanouts[h]
                 deg = ptr[frontier + 1] - ptr[frontier]
-                full_nbh = np.minimum(np.arange(f)[None, :],
-                                      np.maximum(deg[:, None] - 1, 0))
-                draws_f = (rng.random((len(frontier), f))
-                           * np.maximum(deg, 1)[:, None]).astype(np.int64)
-                cols = np.where((deg <= f)[:, None], full_nbh, draws_f)
+                # mirror sample()'s window rule: uniform start in
+                # [0, deg-f], contiguous window of the shuffled list;
+                # whole neighborhood when deg <= f
+                start = (rng.random(len(frontier))
+                         * np.maximum(deg - f + 1, 1)).astype(np.int64)
+                start = np.where(deg <= f, 0, start)
+                cols = start[:, None] + np.arange(f)[None, :]
                 ev = np.arange(f)[None, :] < deg[:, None]
-                cand = adj[np.minimum(ptr[frontier][:, None] + cols,
-                                      len(adj) - 1)][ev]
+                cand = adj_sh[np.minimum(ptr[frontier][:, None] + cols,
+                                         len(adj_sh) - 1)][ev]
                 cand = np.unique(cand[~seen[cand]])
                 rem = self.D - total
                 keep = min(len(cand), rem)
@@ -424,11 +450,7 @@ class DeviceSampler:
         frontier = seeds[: self.fcaps[0]]
         ER = int(consts.adj_dst.shape[0])  # 16-wide aligned rows
         for h in range(self.active_hops):
-            fanout = self.fanouts[h]
-            if fanout > 16:
-                raise ValueError(
-                    "window sampling supports fanout <= 16 per hop "
-                    "(a window spans at most two aligned 16-rows)")
+            fanout = self.fanouts[h]  # <= 16, validated in __init__
             FC = self.fcaps[h]
             fr = frontier
             frv = fr < N
@@ -522,11 +544,12 @@ class DeviceSampler:
 
         # 4. MIXED-CLASS packed layout (r4): stable rank within each size
         # class via one [M, C] one-hot cumsum, then closed-form offsets.
-        # Each block of a class c >= 1 reserves its leftover rows
-        # (128 - pb_c*s_c) for floor(leftover / s_0) FILLER molecules of
-        # the smallest class; class-0 molecules fill those positions in
-        # class-base order before falling back to their own end-of-layout
-        # blocks. Pure arithmetic over [C]/[M, C] — no new sorts or
+        # Each block of a class c reserves its leftover rows
+        # (128 - pb_c*s_c) for floor(leftover / s_g) FILLER molecules of
+        # class g = gidx[c] — the LARGEST smaller class whose size fits
+        # the leftover (no filler when gidx[c] = -1). Molecules of a
+        # filler class g occupy their host blocks in ascending-base order
+        # before falling back to class g's own end-of-layout blocks. Pure arithmetic over [C]/[M, C] — no new sorts or
         # scatters vs the unmixed packer — and the packed extent drops
         # ~5% at config #4 (the per-block waste moves from dead rows to
         # real molecules). Slot ids enumerate molecules in OFFSET order
@@ -658,42 +681,56 @@ class DeviceSampler:
                 (fr.shape[0], self.fanouts[h])).reshape(-1)
             for h, fr in enumerate(frs)])
         ok = (la < D) & (lb < D) & (la != lb)
-        sent = D * D
-        keyv = jnp.where(
-            ok, jnp.minimum(la, lb) * D + jnp.maximum(la, lb), sent)
+        # Canonical-pair dedup on TWO sort keys (lo, hi) — r5, replacing
+        # the r4 composite lo*D+hi int32 key, whose range capped the drug
+        # budget at floor(sqrt(2^31)) = 46340. Sentinel pairs (D, 0) sort
+        # after every valid pair (lo < D); ordering and the
+        # ascending-prefix truncation semantics are identical to the
+        # composite key's (lexicographic == composite order).
         # NOTE (r3): letting the dedup holes flow through the final
         # dst-sort (one fewer sort, but over 2*Etot+D instead of 2U+D
         # elements) measured WORSE: sort cost is only size-flat up to
         # ~128K; the 262K argsort took the sampler 8.4 -> 14.8 ms. The
-        # compaction sort stays.
-        kuniq, ucnt = sorted_unique(keyv, sent)
+        # compaction sort stays (as a second two-key sort, mirroring
+        # sorted_unique).
+        plo = jnp.where(ok, jnp.minimum(la, lb), D)
+        phi = jnp.where(ok, jnp.maximum(la, lb), 0)
+        lo_s, hi_s = jax.lax.sort((plo, phi), num_keys=2)
+        m_u = (lo_s < D) & jnp.concatenate(
+            [jnp.ones(1, bool),
+             (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
+        ucnt = m_u.sum().astype(i32)
+        klo_c, khi_c = jax.lax.sort(
+            (jnp.where(m_u, lo_s, D), jnp.where(m_u, hi_s, 0)), num_keys=2)
         kept = jnp.minimum(ucnt, self.U)
         outer_dropped = (ucnt - kept) * 2  # both directions drop
-        ku = kuniq[: self.U]
         uval = jnp.arange(self.U) < kept
-        klo = ku // D
-        khi = ku % D
-        # dst-major composite keys: canonical pair (lo, hi) emits
-        # (src=hi, dst=lo) -> key lo*D+hi == ku, and (src=lo, dst=hi) ->
-        # key hi*D+lo; live self-loops -> d*D+d. All three families are
-        # disjoint (src<dst / src>dst / src==dst), so one plain argsort of
-        # the composite key yields the dst-sorted edge list with each dst
-        # block internally src-sorted.
+        klo = klo_c[: self.U]
+        khi = khi_c[: self.U]
+        # dst-major (dst, src) two-key sort (r5, same composite-free
+        # rationale): canonical pair (lo, hi) emits (src=hi, dst=lo) and
+        # (src=lo, dst=hi); live self-loops (d, d). The three families are
+        # disjoint (src<dst / src>dst / src==dst), so (dst, src) pairs are
+        # unique across families and the stable sort yields the dst-sorted
+        # edge list with each dst block internally src-sorted — exactly
+        # the composite dst*D+src order. Sentinels carry (D, 0) and tie
+        # stably in origin order, as the equal composite sentinels did.
         U = self.U
-        key_a = jnp.where(uval, ku, sent)
-        key_b = jnp.where(uval, khi * D + klo, sent)
         slot = jnp.arange(D, dtype=i32)
-        key_l = jnp.where(slot < n_real, slot * D + slot, sent)
-        key_all = jnp.concatenate([key_a, key_b, key_l])  # [L = 2U + D]
-        L = int(key_all.shape[0])
-        # one two-operand stable sort gives keys AND permutation together
-        # (argsort-then-gather pays an extra [L] element gather, ~0.3 ms
-        # on this chip — r4 probe)
-        ks, o3 = jax.lax.sort(
-            (key_all, jnp.arange(L, dtype=i32)), num_keys=1)
-        vale = ks < sent
-        sv_s = jnp.where(vale, ks // D, D)
-        su_s = jnp.where(vale, ks % D, 0)
+        lv = slot < n_real
+        dst_all = jnp.concatenate([
+            jnp.where(uval, klo, D), jnp.where(uval, khi, D),
+            jnp.where(lv, slot, D)])  # [L = 2U + D]
+        src_all = jnp.concatenate([
+            jnp.where(uval, khi, 0), jnp.where(uval, klo, 0),
+            jnp.where(lv, slot, 0)])
+        L = int(dst_all.shape[0])
+        # one three-operand stable sort gives keys AND permutation
+        # together (argsort-then-gather pays an extra [L] element gather,
+        # ~0.3 ms on this chip — r4 probe)
+        sv_s, su_s, o3 = jax.lax.sort(
+            (dst_all, src_all, jnp.arange(L, dtype=i32)), num_keys=2)
+        vale = sv_s < D
         # free src-sort perm: the edge list is SYMMETRIC, so the k-th
         # src-sorted edge is the mirror of the k-th dst-sorted edge —
         # edge_src_sorted[k] == sv_s[k] and the permutation is the mirror
@@ -727,6 +764,10 @@ class DeviceSampler:
         stats = {
             "trunc_nodes_dropped": (
                 hop_dropped + ecap_dropped + ncap_dropped).astype(i32),
+            # surfaced separately so the trainer can warn when the
+            # device-calibrated node cap truncates persistently (a
+            # persistent estimator bias the host cap did not have)
+            "trunc_ncap_dropped": ncap_dropped.astype(i32),
             "trunc_outer_edges_dropped": outer_dropped.astype(i32),
             "trunc_batches": (
                 (hop_dropped + ecap_dropped + ncap_dropped + outer_dropped)

@@ -60,8 +60,15 @@ class COOGraph:
 
 def symmetrize(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Return both directions of an undirected edge list, deduplicated."""
-    s = np.concatenate([src, dst])
-    d = np.concatenate([dst, src])
+    s = np.asarray(np.concatenate([src, dst]), np.int64)
+    d = np.asarray(np.concatenate([dst, src]), np.int64)
+    n = int(max(s.max(), d.max())) + 1 if len(s) else 0
+    if n and n <= np.iinfo(np.int64).max // (n + 1):
+        # composite-key unique: one int64 sort instead of np.unique(axis=0)
+        # over [2E, 2] rows (~10x at 20M edges — the config-#4-scale
+        # partition build needs it, parallel/partition.py)
+        uk = np.unique(s * np.int64(n) + d)
+        return uk // n, uk % n
     uniq = np.unique(np.stack([s, d], axis=1), axis=0)
     return uniq[:, 0], uniq[:, 1]
 

@@ -47,6 +47,17 @@ class TrainConfig:
     # clip=1.0 also degraded there — the stable recipe at that scale is
     # simply lr 3e-4 (config.py config4 note).
     grad_clip: float = 0.0
+    # OPT-IN per-epoch reshuffle of the device sampler's neighbor lists
+    # (DeviceSampler.reshuffle_adj), for long-horizon runs that want
+    # explicit window-draw decorrelation. WARNING — measured REGRESSION
+    # as a default (r4): at config #4 a 4x500-step run reached test AUC
+    # 0.567 with a loss spike at each epoch boundary vs 0.635 with the
+    # fixed init-time shuffle (the co-occurrence shift perturbs Adam's
+    # moment estimates at the config's borderline lr); the fixed-shuffle
+    # window estimator already beats the host iid estimator at equal step
+    # budget (docs/CONFIG4_LEARNING_r4.txt). Only meaningful with
+    # device_sample=True; ignored otherwise.
+    reshuffle_epochs: bool = False
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -367,6 +378,11 @@ class MinibatchTrainer:
 
                 consts = jax.device_put(consts, NamedSharding(mesh, P()))
             self._dev_consts = jax.tree.map(jnp.asarray, consts)
+            # the epoch-0 constants, kept so the opt-in per-epoch
+            # reshuffle (TrainConfig.reshuffle_epochs) always derives
+            # epoch e's adjacency from the INIT shuffle — a pure function
+            # of (seed, epoch), so kill-and-resume at any epoch is exact
+            self._dev_consts0 = self._dev_consts
         if mesh is None:
             self._train_step = jax.jit(self._step)
             self._score_batch = jax.jit(self._score)
@@ -558,9 +574,15 @@ class MinibatchTrainer:
                     # int8->bf16 convert fuses into the batched dot, so the
                     # [NC, 128] adjacency's HBM traffic (1 write + 4 pass
                     # reads per step) drops 2x vs bf16 (measured -12% per
-                    # pass, scripts/probe_int8_adj.py)
+                    # pass, scripts/probe_int8_adj.py). A superrow pair's
+                    # multiplicity is bounded by r_node^2 (every quantized
+                    # row pair between two molecules of r_node rows), so
+                    # int8 is exact only when r_node^2 <= 127 — guard it
+                    # (the kernel's f32->int8 cast would wrap silently;
+                    # parity covered by test_block_adj.py int8 case).
+                    cdt = jnp.int8 if R_N * R_N <= 127 else jnp.int16
                     cnt = jax.lax.stop_gradient(block_adjacency(
-                        edge_src, edge_dst, None, estarts, NC, jnp.int8))
+                        edge_src, edge_dst, None, estarts, NC, cdt))
                 if "gcn" in kinds:
                     adj = jax.lax.stop_gradient(block_adjacency(
                         edge_src, edge_dst, edge_w, estarts, NC, dt))
@@ -866,15 +888,20 @@ class MinibatchTrainer:
         """One epoch over the device-sampling scan; losses and truncation
         stats stay on device until the epoch ends (no per-chunk D2H)."""
         # NOTE (r4, measured): per-epoch neighbor-list reshuffling
-        # (DeviceSampler.reshuffle_adj) is deliberately NOT applied here.
-        # It is mechanically sound (segment multisets invariant, tested at
+        # (DeviceSampler.reshuffle_adj) is NOT applied by default. It is
+        # mechanically sound (segment multisets invariant, tested at
         # config-#4 scale) but measurably HURTS learning: 4x500 steps at
         # config #4 reached test AUC 0.567 with a loss spike at an epoch
         # boundary vs 0.635 without it (docs/CONFIG4_LEARNING_r4.txt) —
         # the co-occurrence shift at each boundary perturbs Adam's moment
         # estimates at the config's borderline lr. The fixed-shuffle
         # window estimator itself BEATS the host iid estimator at equal
-        # budget, so window co-occurrence needs no mitigation.
+        # budget, so window co-occurrence needs no mitigation. Long-horizon
+        # runs that want explicit decorrelation can opt in via
+        # TrainConfig.reshuffle_epochs (r5).
+        if getattr(self.config, "reshuffle_epochs", False):
+            self._dev_consts = self.dsampler.reshuffle_adj(
+                self._dev_consts0, epoch)
         K = max(1, self.dispatch_chunk)
         loss_chunks, stat_chunks = [], []
         step = 0
@@ -895,6 +922,22 @@ class MinibatchTrainer:
             *stat_chunks) if stat_chunks else {}
         for k, v in stats.items():
             self.sampler.truncation[k] = self.sampler.truncation.get(k, 0) + v
+        # the device-calibrated node cap is a statistical max over
+        # simulated real draws (DeviceSampler._calibrate_node_hops);
+        # persistent truncation means the real class mix runs larger than
+        # calibrated — a standing estimator bias worth surfacing, not a
+        # rare-tail event (ADVICE r4)
+        if stats.get("trunc_ncap_dropped", 0) > 0 and not getattr(
+                self, "_warned_ncap", False):
+            self._warned_ncap = True
+            import warnings
+
+            warnings.warn(
+                f"device sampler node cap truncated "
+                f"{stats['trunc_ncap_dropped']} molecules this epoch; "
+                "persistent drops bias the estimator — raise the "
+                "calibration margin/draws (DeviceSampler._calibrate_"
+                "node_hops) or the host node_cap", RuntimeWarning)
         return params, opt_state, losses
 
     def _dp_scan_body(self, params, opt_state, hb, tables):

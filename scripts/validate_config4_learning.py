@@ -29,6 +29,13 @@ def main():
     p.add_argument("--steps-per-epoch", type=int, default=500)
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--out", default=None)
+    p.add_argument("--exact-eval", action="store_true",
+                   help="additionally run FULL-propagation (estimator-free) "
+                        "val/test eval after training and report it next to "
+                        "the sampled estimator, with wall time (VERDICT r4 "
+                        "item 2)")
+    p.add_argument("--modes", default="device,host",
+                   help="comma list: device,host")
     args = p.parse_args()
 
     from bignn_tpu.config import get_config
@@ -43,7 +50,7 @@ def main():
     tcfg = dataclasses.replace(cfg.train, epochs=args.epochs, eval_every=1)
 
     lines = []
-    for mode in ("device", "host"):
+    for mode in args.modes.split(","):
         model = BiGNN(cfg.model)
         tr = MinibatchTrainer(
             model, ds, tcfg, fanouts=cfg.fanouts, max_drugs=cfg.max_drugs,
@@ -68,6 +75,27 @@ def main():
             "test_ap": round(result["test_ap"], 4)}}
         lines.append(fin)
         print(json.dumps(fin), flush=True)
+        if args.exact_eval:
+            # estimator-free final metrics: full inner encode of every
+            # molecule + one outer pass over the whole train graph
+            # (trainer.evaluate(exact=True)); negatives drawn identically
+            # to the sampled eval, so the delta isolates the estimator
+            best = params  # fit() returns best-val params
+            for split in ("val", "test"):
+                t1 = time.perf_counter()
+                ex = tr.evaluate(best, split, exact=True)
+                sp = tr.evaluate(best, split, exact=False)
+                rec = {"mode": mode, "split": split,
+                       "exact_auc": round(ex[f"{split}_auc"], 4),
+                       "exact_ap": round(ex[f"{split}_ap"], 4),
+                       "sampled_auc": round(sp[f"{split}_auc"], 4),
+                       "sampled_ap": round(sp[f"{split}_ap"], 4),
+                       "exact_minus_sampled_auc": round(
+                           ex[f"{split}_auc"] - sp[f"{split}_auc"], 4),
+                       "exact_eval_wall_s": round(
+                           time.perf_counter() - t1, 1)}
+                lines.append(rec)
+                print(json.dumps(rec), flush=True)
 
     if args.out:
         with open(args.out, "w") as f:

@@ -50,6 +50,40 @@ def test_build_matches_xla_reference(weighted):
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_build_int8_count_parity():
+    """int8 count-adjacency parity vs the f32 build (ADVICE r4): the
+    trainer stores multiplicity counts as int8 when r_node^2 <= 127; the
+    kernel's f32 accumulator must cast without wrapping for in-range
+    counts, including duplicate edges."""
+    rng = np.random.default_rng(7)
+    src, dst, estarts, n = _random_block_local_edges(rng, nblk=3)
+    # inject duplicate (dst, src) pairs to exercise multiplicity > 1
+    src[1] = src[0]
+    dst[1] = dst[0]
+    ref = np.asarray(build_block_adj(
+        jnp.asarray(src), jnp.asarray(dst), None,
+        jnp.asarray(estarts), n, jnp.float32, interpret=True))
+    assert ref.max() >= 2  # the injected duplicate
+    assert ref.max() <= 127, "test edges must stay in int8 range"
+    out = np.asarray(build_block_adj(
+        jnp.asarray(src), jnp.asarray(dst), None,
+        jnp.asarray(estarts), n, jnp.int8, interpret=True))
+    assert out.dtype == np.int8
+    np.testing.assert_array_equal(out.astype(np.float32), ref)
+
+
+def test_int8_guard_widens_for_large_superrows():
+    """The trainer must not choose int8 counts when r_node^2 > 127 (a
+    superrow pair's multiplicity is bounded by r_node^2 and the kernel's
+    f32->int8 cast wraps silently)."""
+    import inspect
+
+    from bignn_tpu.train import trainer as trainer_mod
+
+    src = inspect.getsource(trainer_mod.MinibatchTrainer._expand_compact)
+    assert "R_N * R_N <= 127" in src
+
+
 @pytest.mark.parametrize("inner", [("gin:16", "gin:16"), ("gcn:16", "gin:16")])
 def test_dense_inner_matches_streaming(inner):
     ds = make_synthetic_ddi(num_drugs=40, feat_dim=8, avg_degree=6.0,

@@ -153,16 +153,61 @@ def test_device_fit_trains_and_is_deterministic():
     assert "batches_sampled" in r1["history"][0]
 
 
-def test_budget_overflow_guard(setup):
-    """drug_budget > 46340 would overflow the int32 pair-dedup key space
-    (D*D >= 2^31); the constructor must refuse with a clear message."""
+def test_large_budget_draw(setup):
+    """r5: the pair dedup and outer build run on two-key (lo, hi) sorts,
+    so a 64K drug budget — over the r4 composite-key ceiling of
+    floor(sqrt(2^31)) = 46340 — constructs and draws correctly on CPU."""
     ds, host, *_ = setup
     import copy
 
     big = copy.copy(host)
-    big.drug_budget = 50_000
-    with pytest.raises(ValueError, match="overflows"):
-        DeviceSampler(big)
+    big.drug_budget = 65_536
+    # outer_edge_cap must hold D self-loops + both directions of U pairs
+    big.outer_edge_cap = 65_536 + 4096
+    dev = DeviceSampler(big)
+    assert dev.D == 65_536
+    consts = jax.tree.map(jnp.asarray, dev.constants())
+    cb, stats = jax.jit(dev.sample)(consts, dev.key_at(0, 0))
+    cb = jax.tree.map(np.asarray, cb)
+    n = int(cb.n_real)
+    assert 0 < n <= ds.num_drugs
+    nodes = cb.nodes[:n]
+    assert len(np.unique(nodes)) == n
+    # outer edges: dst-sorted, each non-loop edge a real train edge, one
+    # self-loop per live slot (same membership contract as the structural
+    # test, at the large-D index dtype/int32 path)
+    od = cb.outer_dst.astype(np.int64)
+    live = od < dev.D
+    assert np.all(np.diff(od) >= 0)
+    osrc = cb.outer_src.astype(np.int64)[live]
+    odst = od[live]
+    gs, gd = nodes[osrc], nodes[odst]
+    train = ds.split_edges("train")
+    eset = set(map(tuple, np.concatenate([train, train[:, ::-1]])))
+    nonloop = gs != gd
+    assert nonloop.any()
+    for a, b in zip(gs[nonloop], gd[nonloop]):
+        assert (int(a), int(b)) in eset
+    np.testing.assert_array_equal(
+        np.sort(osrc[~nonloop]), np.arange(n))
+    # pair list is canonical-deduped: no duplicate undirected pairs
+    pairs = np.stack([np.minimum(gs[nonloop], gd[nonloop]),
+                      np.maximum(gs[nonloop], gd[nonloop])], 1)
+    # each canonical pair appears exactly twice (both directions)
+    _, cnts = np.unique(pairs, axis=0, return_counts=True)
+    assert np.all(cnts == 2)
+
+
+def test_fanout_validated_at_construction(setup):
+    """fanouts > 16 must fail in __init__ (window draws span at most two
+    aligned 16-rows), not at the first jitted draw (ADVICE r4)."""
+    _, host, *_ = setup
+    import copy
+
+    wide = copy.copy(host)
+    wide.fanouts = (32,)
+    with pytest.raises(ValueError, match="fanout"):
+        DeviceSampler(wide)
 
 
 def test_emitted_src_sort_perm(setup):
@@ -282,3 +327,33 @@ def test_reshuffle_adj_invariants(setup):
         np.asarray(dev.reshuffle_adj(consts, 0).adj_dst).reshape(-1), base)
     # padding tail intact (sorted to the end as zeros)
     np.testing.assert_array_equal(r1[E:], base[E:])
+
+
+def test_reshuffle_epochs_knob(setup):
+    """TrainConfig.reshuffle_epochs (r5, opt-in): the trainer applies the
+    per-epoch reshuffle from the INIT constants, so the trajectory is a
+    pure function of (seed, epoch) — two identical runs match exactly —
+    and differs from the fixed-shuffle default after epoch 0."""
+    ds, *_ = setup
+
+    def run(reshuffle):
+        model = BiGNN(BiGNNConfig(feat_dim=8, inner_layers=("gin:16",),
+                                  outer_layers=("gcn:16:identity",)))
+        tr = MinibatchTrainer(
+            model, ds,
+            TrainConfig(lr=3e-3, epochs=3, batch_size=16, seed=0,
+                        eval_every=3, reshuffle_epochs=reshuffle),
+            fanouts=(4, 3), calibrate_caps=4, device_sample=True,
+            dispatch_chunk=2)
+        params, _ = tr.fit(steps_per_epoch=4)
+        return params
+
+    p1 = run(True)
+    p2 = run(True)
+    p0 = run(False)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    diff = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p0)))
+    assert diff, "reshuffle_epochs=True must change the post-epoch-0 draws"
