@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from bignn_tpu.models.convs import GATConv, GCNConv, GINConv
 from bignn_tpu.models.modules import parse_activation
 from bignn_tpu.ops import segment_softmax, segment_sum, spmm_multihead, spmm_sorted_coo
-from bignn_tpu.ops.gather import gather_rows
+from bignn_tpu.ops.gather import gather_rows, gather_rows_sorted_grad
 
 
 def _a2a(sendbuf: jax.Array, axis_name: str, impl: str) -> jax.Array:
@@ -72,13 +72,18 @@ def halo_exchange(
 
 
 def dist_gcn_apply(conv: GCNConv, params, h_local, src, dst, weight, send_idx,
-                   axis_name: str = "graph", impl: str = "lax"):
+                   axis_name: str = "graph", impl: str = "lax",
+                   src_perm=None, src_sorted=None):
     """Boundary-first schedule: the [G, S] boundary rows are transformed and
     put on the wire BEFORE the full-width transform, so the all-to-all is in
     flight while the [B, F] matmul runs (XLA async collectives overlap
     independent work). Transform commutes with the row gather, so values are
     identical to exchange-after-transform; boundary rows are transformed
-    twice (G*S << B rows — negligible)."""
+    twice (G*S << B rows — negligible).
+
+    ``src_perm``/``src_sorted`` (r5): the plan's static source-sort of this
+    shard's edge list — lets every sorted-segment backward run with no
+    per-step argsort (OuterPartitionPlan.src_perm)."""
     b = h_local.shape[0]
     bnd = jnp.take(h_local, send_idx, axis=0, mode="clip")  # [G, S, in]
     sendbuf = jnp.dot(bnd, params["w"], preferred_element_type=jnp.float32)
@@ -86,12 +91,14 @@ def dist_gcn_apply(conv: GCNConv, params, h_local, src, dst, weight, send_idx,
     h_t = jnp.dot(h_local, params["w"], preferred_element_type=jnp.float32)
     g, s, f = recv.shape
     ext = jnp.concatenate([h_t, recv.reshape(g * s, f)], axis=0)
-    agg = spmm_sorted_coo(ext, src, dst, weight, b)
+    agg = spmm_sorted_coo(ext, src, dst, weight, b,
+                          src_perm=src_perm, src_sorted=src_sorted)
     return parse_activation(conv.activation)(agg + params["b"])
 
 
 def dist_gin_apply(conv: GINConv, params, h_local, src, dst, weight, send_idx,
-                   axis_name: str = "graph", impl: str = "lax"):
+                   axis_name: str = "graph", impl: str = "lax",
+                   src_perm=None, src_sorted=None):
     """GIN sends RAW rows (its transform happens after aggregation), so
     boundary-first transform overlap doesn't apply — but aggregation is
     LINEAR, so the edge list splits by source locality (VERDICT r2 item 6):
@@ -100,18 +107,27 @@ def dist_gin_apply(conv: GINConv, params, h_local, src, dst, weight, send_idx,
     halo arrives. Masking rides the SpMM weight vector (0/1), which
     preserves the dst-sort the sorted-segment kernel needs; values equal the
     unsplit aggregation up to fp reassociation (the equality test runs at
-    allclose tolerance, tests/test_p2_overlap.py)."""
+    allclose tolerance, tests/test_p2_overlap.py).
+
+    The locality clip/shift transforms are MONOTONE in src, so the plan's
+    single src_perm serves both split aggregations — only the sorted id
+    values transform (min/clip applied to src_sorted)."""
     del weight
     b = h_local.shape[0]
     sendbuf = jnp.take(h_local, send_idx, axis=0, mode="clip")  # [G, S, d]
     recv = _a2a(sendbuf, axis_name, impl)
     w_loc = (src < b).astype(h_local.dtype)
-    # local-src aggregation — no dependency on recv, overlaps the exchange
-    agg = spmm_sorted_coo(h_local, jnp.minimum(src, b - 1), dst, w_loc, b)
     g, s, f = recv.shape
+    loc_sorted = None if src_sorted is None else jnp.minimum(src_sorted, b - 1)
+    rem_sorted = (None if src_sorted is None
+                  else jnp.clip(src_sorted - b, 0, g * s - 1))
+    # local-src aggregation — no dependency on recv, overlaps the exchange
+    agg = spmm_sorted_coo(h_local, jnp.minimum(src, b - 1), dst, w_loc, b,
+                          src_perm=src_perm, src_sorted=loc_sorted)
     halo = recv.reshape(g * s, f)
     agg = agg + spmm_sorted_coo(
-        halo, jnp.clip(src - b, 0, g * s - 1), dst, 1.0 - w_loc, b)
+        halo, jnp.clip(src - b, 0, g * s - 1), dst, 1.0 - w_loc, b,
+        src_perm=src_perm, src_sorted=rem_sorted)
     from bignn_tpu.models.modules import MLP
 
     hidden = conv.hidden_dim or conv.out_dim
@@ -121,7 +137,8 @@ def dist_gin_apply(conv: GINConv, params, h_local, src, dst, weight, send_idx,
 
 
 def dist_gat_apply(conv: GATConv, params, h_local, src, dst, weight, send_idx,
-                   axis_name: str = "graph", impl: str = "lax"):
+                   axis_name: str = "graph", impl: str = "lax",
+                   src_perm=None, src_sorted=None):
     del weight
     b = h_local.shape[0]
     H, D = conv.heads, conv.head_dim
@@ -141,10 +158,19 @@ def dist_gat_apply(conv: GATConv, params, h_local, src, dst, weight, send_idx,
     payload = jnp.concatenate([h_t, score_r], axis=1)  # [B, H*D + H]
     ext = jnp.concatenate([payload, recv.reshape(g * s, -1)], axis=0)
     h_ext, sr_ext = ext[:, : H * D], ext[:, H * D :]
-    e = gather_rows(score_l, dst) + gather_rows(sr_ext, src)
+    # sorted-grad gathers + plan perms: no scatter HLO, no per-step argsort
+    # in any backward (mirrors the single-device GATConv streaming path).
+    # Without a plan perm the src gather keeps plain AD — sorted_grad with
+    # an empty perm would assume src is already sorted, which it is not.
+    e_dst = gather_rows_sorted_grad(score_l, dst)
+    e_src = (gather_rows(sr_ext, src) if src_perm is None
+             else gather_rows_sorted_grad(
+                 sr_ext, src, perm=src_perm, ids_sorted=src_sorted))
+    e = e_dst + e_src
     e = jax.nn.leaky_relu(e, conv.negative_slope)  # [E, H]
     alpha = segment_softmax(e, dst, b)
-    agg = spmm_multihead(h_ext.reshape(-1, H, D), src, dst, alpha, b)
+    agg = spmm_multihead(h_ext.reshape(-1, H, D), src, dst, alpha, b,
+                         src_perm=src_perm, src_sorted=src_sorted)
     return parse_activation(conv.activation)(
         agg.reshape(-1, H * D) + params["b"]
     )
@@ -160,17 +186,21 @@ _DIST_APPLY = {GCNConv: dist_gcn_apply, GINConv: dist_gin_apply, GATConv: dist_g
 # ---------------------------------------------------------------------------
 
 
-def dist_gcn_apply_ext(conv: GCNConv, params, h_local, ext, src, dst, weight):
+def dist_gcn_apply_ext(conv: GCNConv, params, h_local, ext, src, dst, weight,
+                       src_perm=None, src_sorted=None):
     b = h_local.shape[0]
     h_t_ext = jnp.dot(ext, params["w"], preferred_element_type=jnp.float32)
-    agg = spmm_sorted_coo(h_t_ext, src, dst, weight, b)
+    agg = spmm_sorted_coo(h_t_ext, src, dst, weight, b,
+                          src_perm=src_perm, src_sorted=src_sorted)
     return parse_activation(conv.activation)(agg + params["b"])
 
 
-def dist_gin_apply_ext(conv: GINConv, params, h_local, ext, src, dst, weight):
+def dist_gin_apply_ext(conv: GINConv, params, h_local, ext, src, dst, weight,
+                       src_perm=None, src_sorted=None):
     del weight
     b = h_local.shape[0]
-    agg = spmm_sorted_coo(ext, src, dst, None, b)
+    agg = spmm_sorted_coo(ext, src, dst, None, b,
+                          src_perm=src_perm, src_sorted=src_sorted)
     from bignn_tpu.models.modules import MLP
 
     hidden = conv.hidden_dim or conv.out_dim
@@ -179,7 +209,8 @@ def dist_gin_apply_ext(conv: GINConv, params, h_local, ext, src, dst, weight):
     return parse_activation(conv.activation)(out)
 
 
-def dist_gat_apply_ext(conv: GATConv, params, h_local, ext, src, dst, weight):
+def dist_gat_apply_ext(conv: GATConv, params, h_local, ext, src, dst, weight,
+                       src_perm=None, src_sorted=None):
     del weight
     b = h_local.shape[0]
     H, D = conv.heads, conv.head_dim
@@ -187,10 +218,14 @@ def dist_gat_apply_ext(conv: GATConv, params, h_local, ext, src, dst, weight):
     hh_ext = hh_ext.reshape(-1, H, D)
     score_l = jnp.sum(hh_ext[:b] * params["a_l"], axis=-1)  # [B, H]
     score_r = jnp.sum(hh_ext * params["a_r"], axis=-1)  # [B+G*S, H]
-    e = gather_rows(score_l, dst) + gather_rows(score_r, src)
-    e = jax.nn.leaky_relu(e, conv.negative_slope)
+    e_dst = gather_rows_sorted_grad(score_l, dst)
+    e_src = (gather_rows(score_r, src) if src_perm is None
+             else gather_rows_sorted_grad(
+                 score_r, src, perm=src_perm, ids_sorted=src_sorted))
+    e = jax.nn.leaky_relu(e_dst + e_src, conv.negative_slope)
     alpha = segment_softmax(e, dst, b)
-    agg = spmm_multihead(hh_ext, src, dst, alpha, b)
+    agg = spmm_multihead(hh_ext, src, dst, alpha, b,
+                         src_perm=src_perm, src_sorted=src_sorted)
     return parse_activation(conv.activation)(
         agg.reshape(-1, H * D) + params["b"]
     )
@@ -214,6 +249,8 @@ def p2_overlap_forward(
     send_idx: jax.Array,  # [G, S]
     axis_name: str = "graph",
     impl: str = "lax",
+    src_perm: jax.Array | None = None,
+    src_sorted: jax.Array | None = None,
 ) -> jax.Array:
     """Distributed bi-level forward with the flagship overlap
     (BASELINE.json:5,11): boundary drugs encode first, their RAW embeddings
@@ -236,12 +273,13 @@ def p2_overlap_forward(
         p = params["outer"][f"layer_{i}"]
         if i == 0:
             h_local = _DIST_APPLY_EXT[type(conv)](
-                conv, p, h_local, ext, edge_src, edge_dst, edge_weight
+                conv, p, h_local, ext, edge_src, edge_dst, edge_weight,
+                src_perm=src_perm, src_sorted=src_sorted,
             )
         else:
             h_local = _DIST_APPLY[type(conv)](
                 conv, p, h_local, edge_src, edge_dst, edge_weight, send_idx,
-                axis_name, impl,
+                axis_name, impl, src_perm=src_perm, src_sorted=src_sorted,
             )
     return h_local
 
@@ -256,6 +294,8 @@ def dist_outer_forward(
     send_idx: jax.Array,  # [G, S]
     axis_name: str = "graph",
     impl: str = "lax",
+    src_perm: jax.Array | None = None,
+    src_sorted: jax.Array | None = None,
 ) -> jax.Array:
     """Distributed equivalent of BiGNN.propagate_outer for one shard."""
     _, inner_dim = model._inner_stack()
@@ -270,5 +310,6 @@ def dist_outer_forward(
         h_local = fn(
             conv, params["outer"][f"layer_{i}"], h_local,
             edge_src, edge_dst, edge_weight, send_idx, axis_name, impl,
+            src_perm=src_perm, src_sorted=src_sorted,
         )
     return h_local

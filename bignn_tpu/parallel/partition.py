@@ -61,6 +61,14 @@ class OuterPartitionPlan:
     edge_src: np.ndarray
     edge_dst: np.ndarray
     edge_weight: np.ndarray
+    # static source-sort permutation of edge_src per shard (r5): the
+    # sorted-segment backward of every outer SpMM/gather runs with NO
+    # per-step device argsort — the same src_perm/src_sorted contract the
+    # single-device OuterGraph carries (sparse/formats.src_sort_arrays).
+    # Measured before threading these through: the p2 step paid 1.70x the
+    # plain trainer step at 20K drugs (docs/P2_SCALE_r5.txt leg 3b).
+    src_perm: np.ndarray | None = None  # [G, E_cap] int32
+    src_sorted: np.ndarray | None = None  # [G, E_cap] int32
     # overlap split (communication/computation overlap, BASELINE.json:5,11):
     # local_* edges have src on this shard (no halo dependency — aggregated
     # while the all-to-all is in flight); remote_* edges read halo slots
@@ -348,6 +356,12 @@ def build_outer_partition(
         remote_dst[g, :nr] = dst_l[~is_local]
         remote_w[g, :nr] = wg[~is_local]
 
+    # static per-shard source-sort perms (see dataclass note). Padding
+    # edges carry src 0 but weight 0 / dst B, so their position in the
+    # src-sort is harmless — the backward drops them by weight/dst.
+    src_perm = np.argsort(edge_src, axis=1, kind="stable").astype(np.int32)
+    src_sorted = np.take_along_axis(edge_src, src_perm, axis=1)
+
     return OuterPartitionPlan(
         num_nodes=num_nodes,
         n_shards=n_shards,
@@ -358,6 +372,8 @@ def build_outer_partition(
         edge_src=edge_src,
         edge_dst=edge_dst,
         edge_weight=edge_w,
+        src_perm=src_perm,
+        src_sorted=src_sorted,
         local_src=local_src,
         local_dst=local_dst,
         local_weight=local_w,

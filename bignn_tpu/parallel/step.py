@@ -69,15 +69,18 @@ def make_p2_train_step(
 
     Closure signature:
       step(params, opt_state, key, pos_pairs, pos_mask,
-           inner_batch, edge_src, edge_dst, edge_weight, send_idx)
+           inner_batch, edge_src, edge_dst, edge_weight, send_idx,
+           src_perm, src_sorted)
         -> (params, opt_state, loss)
 
     ``inner_batch`` is the stacked PaddedGraphBatch from
-    parallel.partition.build_sharded_inner; edge_* / send_idx come from the
-    OuterPartitionPlan. ``pos_pairs`` [B_glob, 2] with B_glob divisible by
+    parallel.partition.build_sharded_inner; edge_* / send_idx / src_perm /
+    src_sorted come from the OuterPartitionPlan (device_put_plan returns
+    them in call order). ``pos_pairs`` [B_glob, 2] with B_glob divisible by
     the dp axis size.
     """
-    def shard_loss(params, pairs, labels, mask, inner_batch, esrc, edst, ew, sidx):
+    def shard_loss(params, pairs, labels, mask, inner_batch, esrc, edst, ew,
+                   sidx, sperm, ssrt):
         # strip the leading per-shard axis kept by shard_map
         if overlap:
             bnd, interior = inner_batch
@@ -86,13 +89,14 @@ def make_p2_train_step(
                 jax.tree.map(lambda x: x[0], bnd),
                 jax.tree.map(lambda x: x[0], interior),
                 esrc[0], edst[0], ew[0], sidx[0], impl=halo_impl,
+                src_perm=sperm[0], src_sorted=ssrt[0],
             )
         else:
             batch = jax.tree.map(lambda x: x[0], inner_batch)
             h_local = model.encode_inner(params, batch)  # [B, d]
             h_local = dist_outer_forward(
                 model, params, h_local, esrc[0], edst[0], ew[0], sidx[0],
-                impl=halo_impl,
+                impl=halo_impl, src_perm=sperm[0], src_sorted=ssrt[0],
             )
         emb = jax.lax.all_gather(h_local, "graph", tiled=True)  # [G*B, d]
         logits = model.score_pairs(params, emb, pairs).astype(jnp.float32)
@@ -115,7 +119,8 @@ def make_p2_train_step(
     # limitation whose error message itself prescribes check_vma=False.
     # The shard_map is constructed HERE, inside the traced loss, so the
     # default resolves from the backend active at first execution.
-    def loss_fn(params, key, pos_pairs, pos_mask, inner_batch, esrc, edst, ew, sidx):
+    def loss_fn(params, key, pos_pairs, pos_mask, inner_batch, esrc, edst,
+                ew, sidx, sperm, ssrt):
         sharded_loss = jax.shard_map(
             shard_loss,
             mesh=mesh,
@@ -127,6 +132,7 @@ def make_p2_train_step(
                 P("dp"),        # mask
                 P("graph"),     # inner_batch (prefix spec: all leaves)
                 P("graph"), P("graph"), P("graph"), P("graph"),
+                P("graph"), P("graph"),
             ),
             out_specs=P(),
         )
@@ -139,14 +145,16 @@ def make_p2_train_step(
         )
         mask = jnp.concatenate([pos_mask, jnp.tile(pos_mask, (neg_ratio,))])
         return sharded_loss(
-            params, pairs, labels, mask, inner_batch, esrc, edst, ew, sidx
+            params, pairs, labels, mask, inner_batch, esrc, edst, ew, sidx,
+            sperm, ssrt
         )
 
     @jax.jit
     def step(params, opt_state, key, pos_pairs, pos_mask,
-             inner_batch, esrc, edst, ew, sidx):
+             inner_batch, esrc, edst, ew, sidx, sperm, ssrt):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, key, pos_pairs, pos_mask, inner_batch, esrc, edst, ew, sidx
+            params, key, pos_pairs, pos_mask, inner_batch, esrc, edst, ew,
+            sidx, sperm, ssrt
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -167,7 +175,8 @@ def make_p2_score_fn(
     ``check_vma``/``halo_impl``: see make_p2_train_step (both resolve at
     trace time)."""
 
-    def shard_score(params, pairs, inner_batch, esrc, edst, ew, sidx):
+    def shard_score(params, pairs, inner_batch, esrc, edst, ew, sidx,
+                    sperm, ssrt):
         if overlap:
             bnd, interior = inner_batch
             h_local = p2_overlap_forward(
@@ -175,13 +184,14 @@ def make_p2_score_fn(
                 jax.tree.map(lambda x: x[0], bnd),
                 jax.tree.map(lambda x: x[0], interior),
                 esrc[0], edst[0], ew[0], sidx[0], impl=halo_impl,
+                src_perm=sperm[0], src_sorted=ssrt[0],
             )
         else:
             batch = jax.tree.map(lambda x: x[0], inner_batch)
             h_local = model.encode_inner(params, batch)
             h_local = dist_outer_forward(
                 model, params, h_local, esrc[0], edst[0], ew[0], sidx[0],
-                impl=halo_impl,
+                impl=halo_impl, src_perm=sperm[0], src_sorted=ssrt[0],
             )
         emb = jax.lax.all_gather(h_local, "graph", tiled=True)
         logits = model.score_pairs(params, emb, pairs)
@@ -190,15 +200,16 @@ def make_p2_score_fn(
         return jax.lax.pmean(logits, "graph")
 
     @jax.jit
-    def score(params, pairs, inner_batch, esrc, edst, ew, sidx):
+    def score(params, pairs, inner_batch, esrc, edst, ew, sidx, sperm, ssrt):
         return jax.shard_map(
             shard_score,
             mesh=mesh,
             check_vma=step_check_vma() if check_vma is None else check_vma,
             in_specs=(P(), P("dp", None), P("graph"),
-                      P("graph"), P("graph"), P("graph"), P("graph")),
+                      P("graph"), P("graph"), P("graph"), P("graph"),
+                      P("graph"), P("graph")),
             out_specs=P("dp"),
-        )(params, pairs, inner_batch, esrc, edst, ew, sidx)
+        )(params, pairs, inner_batch, esrc, edst, ew, sidx, sperm, ssrt)
 
     return score
 
@@ -208,15 +219,28 @@ def device_put_plan(mesh: Mesh, plan: OuterPartitionPlan, inner_batch):
 
     Uses global_put (make_array_from_callback) so the same code path works
     on a multi-host mesh: every process holds the full plan (deterministic
-    from the shared seed) and contributes only its addressable shards."""
+    from the shared seed) and contributes only its addressable shards.
+
+    Returns ``(inner, esrc, edst, ew, sidx, sperm, ssrt)`` — the last two
+    are the plan's static source-sort permutation (r5: every sorted-segment
+    backward in the dist layers runs with no per-step argsort)."""
+    import numpy as np
+
     from bignn_tpu.parallel.mesh import global_put
 
     put = lambda x: global_put(mesh, P("graph"), x)
     inner = jax.tree.map(put, inner_batch)
+    sperm, ssrt = plan.src_perm, plan.src_sorted
+    if sperm is None:  # plans built before r5
+        sperm = np.argsort(plan.edge_src, axis=1, kind="stable").astype(
+            np.int32)
+        ssrt = np.take_along_axis(plan.edge_src, sperm, axis=1)
     return (
         inner,
         put(plan.edge_src),
         put(plan.edge_dst),
         put(plan.edge_weight),
         put(plan.send_idx),
+        put(sperm),
+        put(ssrt),
     )

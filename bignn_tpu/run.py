@@ -208,7 +208,7 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False,
     step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs,
                               cfg.train.neg_ratio, overlap=overlap,
                               halo_impl=halo_impl)
-    inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
+    inner_d, esrc, edst, ew, sidx, sperm, ssrt = device_put_plan(mesh, plan, inner)
 
     sampler = EdgeMinibatchSampler(train_edges.astype(np.int32),
                                    cfg.train.batch_size, cfg.train.seed)
@@ -244,7 +244,7 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False,
             [np.ones(n_pos, np.float32), np.zeros(n_neg + pad, np.float32)]))
         mask = rep(np.concatenate(
             [np.ones(n_pos + n_neg, np.float32), np.zeros(pad, np.float32)]))
-        scores = score_fn(eval_params, pairs_p, inner_d, esrc, edst, ew, sidx)
+        scores = score_fn(eval_params, pairs_p, inner_d, esrc, edst, ew, sidx, sperm, ssrt)
         auc, ap = _device_metrics(scores, labels, mask)
         return {f"{split}_auc": float(auc), f"{split}_ap": float(ap)}
 
@@ -288,7 +288,7 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False,
                 params, opt_state, loss = step(
                     params, opt_state, jax.random.fold_in(ekey, i),
                     rep(pairs), rep(mask),
-                    inner_d, esrc, edst, ew, sidx,
+                    inner_d, esrc, edst, ew, sidx, sperm, ssrt,
                 )
                 losses.append(loss)
             rec = {"epoch": epoch, "loss": float(jnp.mean(jnp.stack(losses))),

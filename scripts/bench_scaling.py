@@ -129,7 +129,7 @@ def main():
         step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs,
                                   overlap=args.overlap)
         opt_state = optimizer.init(params)
-        inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
+        inner_d, esrc, edst, ew, sidx, sperm, ssrt = device_put_plan(mesh, plan, inner)
         pos = jnp.asarray(rng.integers(0, ds.num_drugs, (args.batch, 2)), jnp.int32)
         mask = jnp.ones(args.batch, jnp.float32)
         key = jax.random.key(1)
@@ -143,13 +143,13 @@ def main():
 
         with mesh:
             p_, o_, loss = step(params, opt_state, key, pos, mask,
-                                inner_d, esrc, edst, ew, sidx)
+                                inner_d, esrc, edst, ew, sidx, sperm, ssrt)
             loss.block_until_ready()
             t0 = time.perf_counter()
             for _ in range(args.steps):
                 key, sub = jax.random.split(key)
                 p_, o_, loss = step(p_, o_, sub, pos, mask,
-                                    inner_d, esrc, edst, ew, sidx)
+                                    inner_d, esrc, edst, ew, sidx, sperm, ssrt)
             _ = float(loss)
         dt = (time.perf_counter() - t0) / args.steps
         rate = edges_per_step / dt

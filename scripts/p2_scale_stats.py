@@ -163,7 +163,7 @@ def fake_device_leg(ds, shards: int, steps: int):
     opt_state = optimizer.init(params)
     step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs,
                               cfg.train.neg_ratio)
-    inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
+    inner_d, esrc, edst, ew, sidx, sperm, ssrt = device_put_plan(mesh, plan, inner)
     sampler = EdgeMinibatchSampler(train.astype(np.int32),
                                    cfg.train.batch_size, cfg.train.seed)
     key = jax.random.key(cfg.train.seed + 1)
@@ -176,7 +176,7 @@ def fake_device_leg(ds, shards: int, steps: int):
             params, opt_state, loss = step(
                 params, opt_state, jax.random.fold_in(key, i),
                 jnp.asarray(pairs), jnp.asarray(mask),
-                inner_d, esrc, edst, ew, sidx)
+                inner_d, esrc, edst, ew, sidx, sperm, ssrt)
             losses.append(float(loss))
             times.append(round(time.perf_counter() - t0, 1))
     return {
@@ -189,8 +189,34 @@ def fake_device_leg(ds, shards: int, steps: int):
     }
 
 
+def load_scaled_ds(num_drugs: int):
+    """config-#4-statistics synthetic at a reduced drug count (same
+    avg degree / molecule sizes), cached like the main dataset."""
+    from bignn_tpu.data import make_synthetic_ddi
+    from bignn_tpu.data.datasets import load_npz_cache, save_npz_cache
+
+    cache = _os.path.join(_os.path.dirname(__file__), "..", ".cache",
+                          f"config4_{num_drugs}.npz")
+    if _os.path.exists(cache):
+        return load_npz_cache(cache, "config4s")
+    ds = make_synthetic_ddi(num_drugs=num_drugs, feat_dim=32,
+                            avg_degree=200.0, min_atoms=8, max_atoms=40,
+                            latent_dim=8, seed=0, name="config4s")
+    _os.makedirs(_os.path.dirname(cache), exist_ok=True)
+    tmp = cache.replace(".npz", ".tmp.npz")
+    save_npz_cache(ds, tmp)
+    _os.replace(tmp, cache)
+    return ds
+
+
 def graph1_overhead_leg(ds, steps: int):
-    """TPU: p2 step at graph=1 vs the plain full-graph Trainer step."""
+    """TPU: p2 step at graph=1 vs the plain full-graph Trainer step.
+
+    NOTE: at the full 100K-drug scale the single-chip full-graph step OOMs
+    (41.4 GB demanded vs 15.75 GB HBM — docs/P2_SCALE_r5.txt leg 3); run
+    this leg with --num-drugs scaled so one chip fits. The machinery
+    whose overhead is being bounded (ext indirection, remapped edge
+    lists, degenerate a2a) is identical at any scale."""
     import dataclasses
 
     import jax
@@ -232,7 +258,7 @@ def graph1_overhead_leg(ds, steps: int):
     opt_state = optimizer.init(params)
     step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs,
                               cfg.train.neg_ratio)
-    inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
+    inner_d, esrc, edst, ew, sidx, sperm, ssrt = device_put_plan(mesh, plan, inner)
     sampler = EdgeMinibatchSampler(train.astype(np.int32),
                                    cfg.train.batch_size, cfg.train.seed)
     key = jax.random.key(cfg.train.seed + 1)
@@ -247,7 +273,7 @@ def graph1_overhead_leg(ds, steps: int):
             p, m = batches[i % len(batches)]
             params, opt_state, loss = step(
                 params, opt_state, jax.random.fold_in(key, i), p, m,
-                inner_d, esrc, edst, ew, sidx)
+                inner_d, esrc, edst, ew, sidx, sperm, ssrt)
             return loss
 
         float(p2_step(0))  # compile
@@ -288,14 +314,18 @@ def main():
     p.add_argument("--steps", type=int, default=2)
     p.add_argument("--skip-inner", action="store_true")
     p.add_argument("--graph1-overhead", action="store_true")
+    p.add_argument("--num-drugs", type=int, default=0,
+                   help="scale the dataset down (graph1-overhead leg: the "
+                        "full 100K full-graph step OOMs one chip)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
-    ds = load_ds()
+    ds = load_scaled_ds(args.num_drugs) if args.num_drugs else load_ds()
     lines = []
     if args.graph1_overhead:
-        rec = {"leg": "graph1_overhead", **graph1_overhead_leg(
-            ds, args.steps)}
+        rec = {"leg": "graph1_overhead",
+               "num_drugs": ds.num_drugs, **graph1_overhead_leg(
+                   ds, args.steps)}
         lines.append(rec)
         print(json.dumps(rec), flush=True)
     elif args.fake_devices:

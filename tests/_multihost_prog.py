@@ -52,7 +52,7 @@ def run_once():
         lambda x: rep(np.asarray(x)), model.init(jax.random.key(0)))
     opt_state = optimizer.init(params)
     step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs)
-    inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
+    inner_d, esrc, edst, ew, sidx, sperm, ssrt = device_put_plan(mesh, plan, inner)
 
     rng = np.random.default_rng(0)
     pos = rep(rng.integers(0, ds.num_drugs, (16, 2)).astype(np.int32))
@@ -61,7 +61,7 @@ def run_once():
         rep(np.asarray(jax.random.key_data(jax.random.key(1)))))
     with mesh:
         params, opt_state, loss = step(
-            params, opt_state, key, pos, mask, inner_d, esrc, edst, ew, sidx)
+            params, opt_state, key, pos, mask, inner_d, esrc, edst, ew, sidx, sperm, ssrt)
     checksum = sum(
         float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(params)
     )

@@ -58,10 +58,10 @@ def test_overlap_matches_plain(outer_spec, opt):
             inner = build_sharded_inner(ds.molecules, plan)
         step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs,
                                   overlap=overlap)
-        inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
+        inner_d, esrc, edst, ew, sidx, sperm, ssrt = device_put_plan(mesh, plan, inner)
         with mesh:
             p, _, loss = step(params, opt_state, key, pos, mask,
-                              inner_d, esrc, edst, ew, sidx)
+                              inner_d, esrc, edst, ew, sidx, sperm, ssrt)
         results[overlap] = (jax.tree.map(np.asarray, p), float(loss))
 
     (p0, l0), (p1, l1) = results[False], results[True]

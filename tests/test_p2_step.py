@@ -51,11 +51,11 @@ def test_p2_step_matches_single_device(dp, graph):
     inner = build_sharded_inner(ds.molecules, plan)
     mesh = make_mesh(dp=dp, graph=graph, devices=jax.devices()[: dp * graph])
     step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs, neg_ratio=1)
-    inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
+    inner_d, esrc, edst, ew, sidx, sperm, ssrt = device_put_plan(mesh, plan, inner)
     with mesh:
         p_dist, _, loss_dist = step(
             params, opt_state, key, jnp.asarray(pos), jnp.asarray(mask),
-            inner_d, esrc, edst, ew, sidx,
+            inner_d, esrc, edst, ew, sidx, sperm, ssrt,
         )
 
     assert np.isclose(float(loss_ref), float(loss_dist), rtol=1e-4), (
@@ -81,13 +81,13 @@ def test_p2_step_full_bignn_runs():
     inner = build_sharded_inner(ds.molecules, plan)
     mesh = make_mesh(dp=2, graph=4, devices=jax.devices()[:8])
     step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs)
-    inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
+    inner_d, esrc, edst, ew, sidx, sperm, ssrt = device_put_plan(mesh, plan, inner)
     rng = np.random.default_rng(3)
     pos = rng.integers(0, 24, (8, 2)).astype(np.int32)
     with mesh:
         p2, _, loss = step(
             params, opt_state, jax.random.key(5), jnp.asarray(pos),
-            jnp.ones(8, jnp.float32), inner_d, esrc, edst, ew, sidx,
+            jnp.ones(8, jnp.float32), inner_d, esrc, edst, ew, sidx, sperm, ssrt,
         )
     assert np.isfinite(float(loss))
     # params actually moved
@@ -137,7 +137,7 @@ def test_p2_step_halo_impl_pallas_matches_lax(overlap):
                                  ds.num_drugs, 4)
     inner = build_sharded_inner(ds.molecules, plan, split_boundary=overlap)
     mesh = make_mesh(dp=1, graph=4, devices=jax.devices()[:4])
-    inner_d, esrc, edst, ew, sidx = device_put_plan(mesh, plan, inner)
+    inner_d, esrc, edst, ew, sidx, sperm, ssrt = device_put_plan(mesh, plan, inner)
 
     results = {}
     with backend_scope("pallas_interpret"):
@@ -148,7 +148,7 @@ def test_p2_step_halo_impl_pallas_matches_lax(overlap):
             with mesh:
                 p_new, _, loss = step(
                     params, opt_state, key, jnp.asarray(pos),
-                    jnp.asarray(mask), inner_d, esrc, edst, ew, sidx)
+                    jnp.asarray(mask), inner_d, esrc, edst, ew, sidx, sperm, ssrt)
             results[impl] = (p_new, float(loss))
 
     assert np.isclose(results["lax"][1], results["pallas"][1], rtol=1e-5)
