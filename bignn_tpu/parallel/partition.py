@@ -117,74 +117,99 @@ def boundary_drugs(plan: OuterPartitionPlan) -> list[np.ndarray]:
     return out
 
 
-def _pack_union(molecule_list, slot_list, num_slots, feat_dim,
-                normalize, add_self_loops):
-    """One shard's padded molecule union; graph ids are given drug slots."""
-    feats, srcs, dsts, gids, nnodes = [], [], [], [], []
-    off = 0
-    for slot, m in zip(slot_list, molecule_list):
-        feats.append(np.asarray(m.node_feat, np.float32))
-        srcs.append(np.asarray(m.src, np.int64) + off)
-        dsts.append(np.asarray(m.dst, np.int64) + off)
-        gids.append(np.full(m.num_nodes, slot, np.int32))
-        nnodes.append((slot, m.num_nodes))
-        off += m.num_nodes
-    if off == 0:
-        s = d = np.zeros(0, np.int64)
-        w = np.zeros(0, np.float32)
-    else:
-        s, d, w = _build_sorted(
-            np.concatenate(srcs), np.concatenate(dsts), off,
-            normalize, add_self_loops,
-        )
-    n_per = np.zeros(num_slots, np.float32)
-    for slot, nn in nnodes:
-        n_per[slot] = nn
-    return dict(
-        feat=(np.concatenate(feats) if feats
-              else np.zeros((0, feat_dim), np.float32)),
-        gids=np.concatenate(gids) if gids else np.zeros(0, np.int32),
-        nnodes=n_per,
-        src=s, dst=d, w=w, total_nodes=off,
-    )
+def _empty_like_batch(template):
+    """All-padding PaddedGraphBatch with ``template``'s caps/fields (for a
+    shard whose molecule subset is empty — e.g. an interior union when every
+    owned drug is boundary)."""
+    import dataclasses as _dc
 
+    import numpy as np
 
-def _stack_unions(shards, B):
-    from bignn_tpu.sparse.formats import PaddedGraphBatch
-
-    node_cap = _round_up(max(max(sh["total_nodes"] for sh in shards), 8), 8)
-    edge_cap = _round_up(max(max(len(sh["src"]) for sh in shards), 128), 128)
-
-    def pad(x, cap, fill):
-        out = np.full((cap,) + x.shape[1:], fill, x.dtype)
-        out[: len(x)] = x
+    def zero(x):
+        if x is None:
+            return None
+        out = np.zeros_like(x)
         return out
 
-    from bignn_tpu.sparse.formats import src_sort_arrays
+    rep = {f.name: zero(getattr(template, f.name))
+           for f in _dc.fields(template)
+           if isinstance(getattr(template, f.name), np.ndarray)}
+    # padding conventions: edge dst/tdst point past node_cap; graph ids
+    # point past num_graphs; perms must stay valid permutations
+    nc, ng, ec = template.node_cap, template.num_graphs, template.edge_cap
+    rep["edge_dst"] = np.full(ec, nc, np.int32)
+    if template.edge_tdst is not None:
+        rep["edge_tdst"] = np.full(ec, nc, np.int32)
+    rep["graph_ids"] = np.full(nc, ng, np.int32)
+    rep["edge_src_perm"] = np.arange(ec, dtype=np.int32)
+    return _dc.replace(template, **rep)
 
-    fields = dict(node_feat=[], node_mask=[], edge_src=[], edge_dst=[],
-                  edge_weight=[], graph_ids=[], graph_n_nodes=[],
-                  edge_src_perm=[], edge_src_sorted=[])
-    for sh in shards:
-        tn = sh["total_nodes"]
-        fields["node_feat"].append(pad(sh["feat"], node_cap, 0.0))
-        fields["node_mask"].append(pad(np.ones(tn, np.float32), node_cap, 0.0))
-        esrc = pad(sh["src"].astype(np.int32), edge_cap, 0)
-        fields["edge_src"].append(esrc)
-        fields["edge_dst"].append(pad(sh["dst"].astype(np.int32), edge_cap, node_cap))
-        fields["edge_weight"].append(pad(sh["w"].astype(np.float32), edge_cap, 0.0))
-        fields["graph_ids"].append(pad(sh["gids"], node_cap, B))
-        fields["graph_n_nodes"].append(sh["nnodes"])
-        sperm, ssorted = src_sort_arrays(esrc)
-        fields["edge_src_perm"].append(sperm)
-        fields["edge_src_sorted"].append(ssorted)
 
-    return PaddedGraphBatch(
-        **{k: np.stack(v) for k, v in fields.items()},
-        num_graphs=B,
-        node_cap=node_cap,
-        edge_cap=edge_cap,
-    )
+def _build_shard_batches(groups, B, normalize, add_self_loops, block_local,
+                         feat_dim):
+    """One stacked PaddedGraphBatch from per-shard (graphs, slots) groups.
+
+    All shards share identical caps (max over shards, 128-aligned) so the
+    stack feeds straight through shard_map; graph ids are the given LOCAL
+    drug slots and every shard reads out into a uniform [B, d]."""
+    import numpy as np
+
+    from bignn_tpu.sparse.formats import build_padded_batch
+
+    if block_local:
+        from bignn_tpu import native
+
+        extents = []
+        for gs, _ in groups:
+            if gs:
+                _, ext = native.greedy_pack_blocks(
+                    np.asarray([g.num_nodes for g in gs], np.int32), 128)
+            else:
+                ext = 0
+            extents.append(ext)
+        node_cap = _round_up(max(max(extents), 128), 128)
+    else:
+        node_cap = _round_up(
+            max(max((sum(g.num_nodes for g in gs) for gs, _ in groups),
+                    default=8), 8), 8)
+    e_tot = max(
+        max((sum(g.num_edges for g in gs)
+             + (sum(g.num_nodes for g in gs) if add_self_loops else 0)
+             for gs, _ in groups), default=128), 128)
+    edge_cap = _round_up(e_tot, 128)
+
+    batches, template = [], None
+    for gs, slots in groups:
+        if gs:
+            b = build_padded_batch(
+                gs, node_cap=node_cap, edge_cap=edge_cap,
+                normalize=normalize, add_self_loops=add_self_loops,
+                block_local=block_local, graph_slots=slots,
+                num_graphs_override=B)
+            if template is None:
+                template = b
+            batches.append(b)
+        else:
+            batches.append(None)
+    if template is None:
+        # every shard's subset is empty (e.g. the interior union when all
+        # drugs are boundary): synthesize the field structure from a
+        # 1-node dummy, then wipe it to all-padding below
+        from bignn_tpu.sparse.formats import COOGraph
+
+        dummy = COOGraph(
+            node_feat=np.zeros((1, feat_dim), np.float32),
+            src=np.zeros(0, np.int64), dst=np.zeros(0, np.int64))
+        template = _empty_like_batch(build_padded_batch(
+            [dummy], node_cap=node_cap, edge_cap=edge_cap,
+            normalize=normalize, add_self_loops=add_self_loops,
+            block_local=block_local, graph_slots=[0],
+            num_graphs_override=B))
+    batches = [b if b is not None else _empty_like_batch(template)
+               for b in batches]
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
 
 
 def build_sharded_inner(
@@ -194,6 +219,7 @@ def build_sharded_inner(
     normalize: bool = True,
     add_self_loops: bool = True,
     split_boundary: bool = False,
+    block_local: bool | None = None,
 ):
     """Per-shard padded molecule unions, stacked on a leading G axis.
 
@@ -201,6 +227,15 @@ def build_sharded_inner(
     readout's graph ids are *local* drug slots so the inner level needs no
     communication at all. All shards share identical caps (max over shards,
     128-aligned edges) so the stack feeds straight through shard_map.
+
+    ``block_local`` (r5; default auto — on when every molecule has <= 128
+    atoms, the same rule as sparse/bucketing.bucket_graphs): lay each
+    shard's union out in packed 128-row blocks WITH the fused block-local
+    SpMM plan, so the p2 inner encode rides the same fast path as the
+    single-device trainers. Measured at 20K drugs / graph=1: the r4
+    streaming union's inner forward alone (273 ms) cost more than the
+    plain trainer's whole step (232 ms); the block plan closes that class
+    of gap (docs/P2_SCALE_r5.txt leg 3b).
 
     With ``split_boundary`` (the overlap path, BASELINE.json:5,11) returns
     TWO stacked batches ``(boundary, interior)``: boundary drugs encode
@@ -211,6 +246,8 @@ def build_sharded_inner(
     G, B = plan.n_shards, plan.node_block
     n = len(molecules)
     feat_dim = molecules[0].node_feat.shape[1]
+    if block_local is None:
+        block_local = max(m.num_nodes for m in molecules) <= 128
     bnd = boundary_drugs(plan) if split_boundary else None
 
     def owned(g):
@@ -219,31 +256,30 @@ def build_sharded_inner(
         return list(range(lo, hi))
 
     if not split_boundary:
-        shards = []
+        groups = []
         for g in range(G):
             ids = owned(g)
-            shards.append(_pack_union(
-                [molecules[i] for i in ids],
-                [i - g * B for i in ids],
-                B, feat_dim, normalize, add_self_loops,
-            ))
-        return _stack_unions(shards, B)
+            groups.append(([molecules[i] for i in ids],
+                           [i - g * B for i in ids]))
+        return _build_shard_batches(
+            groups, B, normalize, add_self_loops, block_local, feat_dim)
 
-    bnd_shards, int_shards = [], []
+    bnd_groups, int_groups = [], []
     for g in range(G):
         ids = owned(g)
         bset = {s for s in bnd[g] if s < len(ids)}
         b_ids = [g * B + s for s in sorted(bset)]
         i_ids = [i for i in ids if (i - g * B) not in bset]
-        bnd_shards.append(_pack_union(
-            [molecules[i] for i in b_ids], [i - g * B for i in b_ids],
-            B, feat_dim, normalize, add_self_loops,
-        ))
-        int_shards.append(_pack_union(
-            [molecules[i] for i in i_ids], [i - g * B for i in i_ids],
-            B, feat_dim, normalize, add_self_loops,
-        ))
-    return _stack_unions(bnd_shards, B), _stack_unions(int_shards, B)
+        bnd_groups.append(([molecules[i] for i in b_ids],
+                           [i - g * B for i in b_ids]))
+        int_groups.append(([molecules[i] for i in i_ids],
+                           [i - g * B for i in i_ids]))
+    return (
+        _build_shard_batches(bnd_groups, B, normalize, add_self_loops,
+                             block_local, feat_dim),
+        _build_shard_batches(int_groups, B, normalize, add_self_loops,
+                             block_local, feat_dim),
+    )
 
 
 def build_outer_partition(

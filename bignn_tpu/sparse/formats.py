@@ -257,6 +257,8 @@ def build_padded_batch(
     dtype=np.float32,
     block_local: bool = False,
     block_dense_max_nodes: int = 131072,
+    graph_slots: Sequence[int] | None = None,
+    num_graphs_override: int | None = None,
 ) -> PaddedGraphBatch:
     """Build the padded disjoint union of ``graphs``.
 
@@ -275,11 +277,31 @@ def build_padded_batch(
     ``block_cnt``) so inner aggregation runs as one batched MXU matmul
     (ops.block_diag_spmm); 0 disables. At the default cap the two arrays
     together are <= 134 MB f32, uploaded once per dataset.
+
+    ``graph_slots`` (r5, for the p2 sharded inner): readout graph id per
+    POSITION — graph i's nodes get id ``graph_slots[i]`` instead of i, so a
+    subset of a shard's drugs (e.g. its boundary molecules) reads out into
+    the right [B, d] rows. Must be strictly increasing so edge dst-sort
+    order equals slot order. ``num_graphs_override`` widens the readout
+    segment count beyond ``len(graphs)`` (shards read out into a uniform
+    [B, d] even when they own fewer drugs; empty slots stay zero).
     """
     num_graphs = len(graphs)
     if num_graphs == 0:
         raise ValueError("empty graph list")
     feat_dim = graphs[0].node_feat.shape[1]
+    if graph_slots is not None:
+        graph_slots = np.asarray(graph_slots, np.int32)
+        if len(graph_slots) != num_graphs:
+            raise ValueError("graph_slots must match len(graphs)")
+        if num_graphs > 1 and not np.all(np.diff(graph_slots) > 0):
+            raise ValueError("graph_slots must be strictly increasing")
+    if num_graphs_override is not None:
+        if num_graphs_override < num_graphs:
+            raise ValueError("num_graphs_override < len(graphs)")
+        if graph_slots is not None and len(graph_slots) and (
+                int(graph_slots[-1]) >= num_graphs_override):
+            raise ValueError("graph_slots exceed num_graphs_override")
 
     sizes = np.asarray([g.num_nodes for g in graphs], np.int32)
     if block_local:
@@ -296,15 +318,18 @@ def build_padded_batch(
         if extent > node_cap:
             raise ValueError(f"total nodes {extent} > node_cap {node_cap}")
 
+    out_graphs = (num_graphs if num_graphs_override is None
+                  else int(num_graphs_override))
     node_feat = np.zeros((node_cap, feat_dim), dtype)
     node_mask = np.zeros(node_cap, dtype)
-    graph_ids = np.full(node_cap, num_graphs, np.int32)
+    graph_ids = np.full(node_cap, out_graphs, np.int32)
     srcs, dsts = [], []
     for gi, g in enumerate(graphs):
         n, off = int(sizes[gi]), int(offsets[gi])
         node_feat[off : off + n] = np.asarray(g.node_feat, dtype)
         node_mask[off : off + n] = 1.0
-        graph_ids[off : off + n] = gi
+        graph_ids[off : off + n] = (
+            gi if graph_slots is None else int(graph_slots[gi]))
         srcs.append(np.asarray(g.src, np.int64) + off)
         dsts.append(np.asarray(g.dst, np.int64) + off)
         if add_self_loops:
@@ -345,6 +370,13 @@ def build_padded_batch(
             np.add.at(block_cnt, (b, dst % 128, src - b * 128), 1.0)
             block.update(block_adj=block_adj, block_cnt=block_cnt)
 
+    if graph_slots is None and num_graphs_override is None:
+        n_nodes = sizes.astype(dtype)
+    else:
+        n_nodes = np.zeros(out_graphs, dtype)
+        slots = (np.arange(num_graphs) if graph_slots is None
+                 else graph_slots)
+        n_nodes[slots] = sizes
     return PaddedGraphBatch(
         node_feat=node_feat,
         node_mask=node_mask,
@@ -352,8 +384,8 @@ def build_padded_batch(
         edge_dst=edge_dst,
         edge_weight=edge_weight.astype(dtype),
         graph_ids=graph_ids,
-        graph_n_nodes=sizes.astype(dtype),
-        num_graphs=num_graphs,
+        graph_n_nodes=n_nodes,
+        num_graphs=out_graphs,
         node_cap=int(node_cap),
         edge_cap=int(edge_cap),
         edge_src_perm=sperm,
