@@ -230,6 +230,17 @@ class BiGNN:
         logits = scorer.apply(params["scorer"], emb.astype(self.compute_dtype), pairs)
         return logits.astype(jnp.float32)
 
+    def score_one_vs_all(self, params: dict, emb: jax.Array, u) -> jax.Array:
+        """[N] logits of (u, v) for every v — the serving rank-all path:
+        u's row broadcasts instead of gathering [N, 2] endpoint pairs
+        (at 100K drugs the pairwise form gathered 2 x [N, d] per query;
+        scripts/bench_serve.py)."""
+        scorer = parse_scorer(self.config.scorer, self.embed_dim)
+        params = self.cast(params)
+        logits = scorer.apply_one_vs_all(
+            params["scorer"], emb.astype(self.compute_dtype), u)
+        return logits.astype(jnp.float32)
+
     def apply(
         self,
         params: dict,

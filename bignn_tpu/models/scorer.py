@@ -27,6 +27,11 @@ class DotScorer:
         hv = gather_rows(emb, pairs[:, 1])
         return jnp.sum(hu * hv, axis=-1)
 
+    def apply_one_vs_all(self, params, emb, u):
+        """Scores of (u, v) for EVERY v — one matvec, no [N, 2] pair
+        materialization (the serving rank-all path; serve.Scorer)."""
+        return emb @ jnp.take(emb, u, axis=0)
+
 
 @dataclasses.dataclass(frozen=True)
 class MLPScorer:
@@ -45,6 +50,14 @@ class MLPScorer:
         hu = gather_rows(emb, pairs[:, 0])
         hv = gather_rows(emb, pairs[:, 1])
         feat = jnp.concatenate([hu * hv, jnp.abs(hu - hv), hu + hv], axis=-1)
+        return self._mlp().apply(params["mlp"], feat)[:, 0]
+
+    def apply_one_vs_all(self, params, emb, u):
+        """Scores of (u, v) for EVERY v: broadcast u's row instead of
+        gathering [N, 2] pairs — [N, 3d] features, no row gathers."""
+        hu = jnp.take(emb, u, axis=0)[None, :]
+        feat = jnp.concatenate(
+            [hu * emb, jnp.abs(hu - emb), hu + emb], axis=-1)
         return self._mlp().apply(params["mlp"], feat)[:, 0]
 
 

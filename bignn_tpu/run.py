@@ -41,6 +41,12 @@ def main(argv=None) -> dict:
                         "device scan; DESIGN.md §2.6). Default from config.")
     p.add_argument("--no-device-sample", dest="device_sample",
                    action="store_false")
+    p.add_argument("--exact-eval", action="store_true",
+                   help="minibatch mode: after training, ALSO report "
+                        "estimator-free final val/test metrics via full "
+                        "propagation (evaluate(exact=True)) — the sampled "
+                        "estimator under-reports by ~0.14 AUC at config-#4 "
+                        "scale (docs/CONFIG4_EXACT_r5.txt; DESIGN.md §3.9)")
     p.add_argument("--profile", default=None, help="jax profiler trace dir")
     p.add_argument("--backend", default=None,
                    choices=["auto", "xla", "pallas", "pallas_interpret"])
@@ -120,6 +126,13 @@ def main(argv=None) -> dict:
                                        device_sample=dev_sample,
                                        mesh=dp_mesh)
             params, result = trainer.fit(**fit_kw)
+            if args.exact_eval:
+                for split in ("val", "test"):
+                    ex = trainer.evaluate(params, split, exact=True)
+                    result.update({f"exact_{k}": v for k, v in ex.items()})
+                logger.log({"event": "exact_eval",
+                            **{k: v for k, v in result.items()
+                               if k.startswith("exact_")}})
         elif cfg.mode == "p2":
             params, result = _run_p2(
                 model, ds, cfg, logger, overlap=args.overlap,

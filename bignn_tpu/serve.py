@@ -10,7 +10,19 @@ The BI-GNN serving workload factors cleanly on TPU:
   2. ONLINE: scoring a (u, v) candidate pair is two embedding rows through
      the pair scorer — a gather + tiny MXU matmul. Batched requests score
      in fixed-size jitted chunks; ranking all partners of one drug is a
-     single [N]-wide scorer pass + device top-k.
+     one-vs-all scorer pass (u's row broadcasts; dot = one matvec) +
+     device top-k, with batched queries running in lax.map chunks so live
+     memory stays O(qchunk * N * d).
+
+MEASURED at config-#4 scale (100K drugs, dim 128, one tunnel-attached
+v5e-class chip; scripts/bench_serve.py, r5):
+  Scorer build (exact full-propagation encode)   65.2 s
+  top_k single query                             48.3 ms   (52.8 ms with
+                                                 exclude_known — mostly
+                                                 per-dispatch tunnel cost)
+  top_k_batch, 256 queries, exclude_known        117.7 ms total
+                                                 = 460 us/query
+  score_pairs, 64K pairs                         43.6 ms
 
 Usage (library):
     scorer = Scorer.from_checkpoint(cfg, ckpt_dir)   # or Scorer(model, ds, params)
@@ -76,11 +88,28 @@ class Scorer:
             lambda prm, emb, d, k, excl: jax.lax.top_k(
                 self._all_scores(prm, emb, d, excl), k),
             static_argnames=("k", "excl"))
+
+        # batched ranking runs query CHUNKS through lax.map: a flat vmap
+        # over B queries of an [N]-wide scorer lives O(B*N*d) — at 100K
+        # drugs x 256 queries the r4 pairwise form OOMed the chip
+        # (scripts/bench_serve.py); chunking caps live memory at
+        # O(qchunk*N*d) with one compile for any B
+        def _rank_batch(prm, emb, ds_, k, excl, qchunk=32):
+            b = ds_.shape[0]
+            pad = (-b) % qchunk
+            dp = jnp.concatenate(
+                [ds_, jnp.zeros(pad, jnp.int32)]).reshape(-1, qchunk)
+
+            def one_chunk(q):
+                return jax.lax.top_k(
+                    jax.vmap(
+                        lambda d: self._all_scores(prm, emb, d, excl))(q), k)
+
+            scores, cand = jax.lax.map(one_chunk, dp)
+            return (scores.reshape(-1, k)[:b], cand.reshape(-1, k)[:b])
+
         self._rank_batch = jax.jit(
-            lambda prm, emb, ds_, k, excl: jax.lax.top_k(
-                jax.vmap(lambda d: self._all_scores(prm, emb, d, excl))(ds_),
-                k),
-            static_argnames=("k", "excl"))
+            _rank_batch, static_argnames=("k", "excl", "qchunk"))
 
     @classmethod
     def from_checkpoint(cls, cfg, ckpt_dir: str, chunk: int = 65536,
@@ -122,10 +151,10 @@ class Scorer:
 
     def _all_scores(self, params, emb, drug_id, exclude_known=False):
         n = emb.shape[0]
-        pairs = jnp.stack(
-            [jnp.full(n, drug_id, jnp.int32),
-             jnp.arange(n, dtype=jnp.int32)], axis=1)
-        scores = self.model.score_pairs(params, emb, pairs)
+        # one-vs-all scorer: u's row broadcasts (dot: a single matvec) —
+        # no [N, 2] pair materialization or [N, d] endpoint gathers (r5;
+        # the pairwise form OOMed batched ranking at 100K drugs)
+        scores = self.model.score_one_vs_all(params, emb, drug_id)
         scores = scores.astype(jnp.float32)
         # exclusions (self-interaction + optionally the drug's train/val
         # partners from the build-time CSR) apply as ONE dropped scatter

@@ -134,3 +134,28 @@ def test_top_k_batch(trained):
         for row, d in enumerate(drugs):
             ids1, scores1 = scorer.top_k(d, k=6, exclude_known=excl)
             np.testing.assert_allclose(scores_b[row], scores1, rtol=1e-6)
+
+
+def test_one_vs_all_matches_pairwise():
+    """The serving rank-all path's one-vs-all scorers (r5: broadcast u's
+    row, no [N, 2] pair materialization) must equal the pairwise scorer
+    for both heads."""
+    import jax
+    import jax.numpy as jnp
+
+    from bignn_tpu.models.scorer import DotScorer, MLPScorer
+
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(37, 16)).astype(np.float32))
+    n = emb.shape[0]
+    pairs = jnp.stack([jnp.full(n, 5, jnp.int32),
+                       jnp.arange(n, dtype=jnp.int32)], 1)
+    dot = DotScorer(16)
+    np.testing.assert_allclose(
+        np.asarray(dot.apply_one_vs_all({}, emb, jnp.int32(5))),
+        np.asarray(dot.apply({}, emb, pairs)), rtol=1e-5, atol=1e-6)
+    mlp = MLPScorer(16, hidden=8)
+    p = mlp.init(jax.random.key(0))
+    np.testing.assert_allclose(
+        np.asarray(mlp.apply_one_vs_all(p, emb, jnp.int32(5))),
+        np.asarray(mlp.apply(p, emb, pairs)), rtol=1e-5, atol=1e-6)
