@@ -73,7 +73,7 @@ def halo_exchange(
 
 def dist_gcn_apply(conv: GCNConv, params, h_local, src, dst, weight, send_idx,
                    axis_name: str = "graph", impl: str = "lax",
-                   src_perm=None, src_sorted=None):
+                   src_perm=None, src_sorted=None, remat: bool = False):
     """Boundary-first schedule: the [G, S] boundary rows are transformed and
     put on the wire BEFORE the full-width transform, so the all-to-all is in
     flight while the [B, F] matmul runs (XLA async collectives overlap
@@ -98,7 +98,7 @@ def dist_gcn_apply(conv: GCNConv, params, h_local, src, dst, weight, send_idx,
 
 def dist_gin_apply(conv: GINConv, params, h_local, src, dst, weight, send_idx,
                    axis_name: str = "graph", impl: str = "lax",
-                   src_perm=None, src_sorted=None):
+                   src_perm=None, src_sorted=None, remat: bool = False):
     """GIN sends RAW rows (its transform happens after aggregation), so
     boundary-first transform overlap doesn't apply — but aggregation is
     LINEAR, so the edge list splits by source locality (VERDICT r2 item 6):
@@ -138,7 +138,7 @@ def dist_gin_apply(conv: GINConv, params, h_local, src, dst, weight, send_idx,
 
 def dist_gat_apply(conv: GATConv, params, h_local, src, dst, weight, send_idx,
                    axis_name: str = "graph", impl: str = "lax",
-                   src_perm=None, src_sorted=None):
+                   src_perm=None, src_sorted=None, remat: bool = False):
     del weight
     b = h_local.shape[0]
     H, D = conv.heads, conv.head_dim
@@ -162,13 +162,19 @@ def dist_gat_apply(conv: GATConv, params, h_local, src, dst, weight, send_idx,
     # in any backward (mirrors the single-device GATConv streaming path).
     # Without a plan perm the src gather keeps plain AD — sorted_grad with
     # an empty perm would assume src is already sorted, which it is not.
-    e_dst = gather_rows_sorted_grad(score_l, dst)
-    e_src = (gather_rows(sr_ext, src) if src_perm is None
-             else gather_rows_sorted_grad(
-                 sr_ext, src, perm=src_perm, ids_sorted=src_sorted))
-    e = e_dst + e_src
-    e = jax.nn.leaky_relu(e, conv.negative_slope)  # [E, H]
-    alpha = segment_softmax(e, dst, b)
+    def attn(score_l, sr_ext):
+        e_dst = gather_rows_sorted_grad(score_l, dst)
+        e_src = (gather_rows(sr_ext, src) if src_perm is None
+                 else gather_rows_sorted_grad(
+                     sr_ext, src, perm=src_perm, ids_sorted=src_sorted))
+        e = jax.nn.leaky_relu(e_dst + e_src, conv.negative_slope)  # [E, H]
+        return segment_softmax(e, dst, b)
+
+    # remat (r5): the [E, H] attention temps (e, exp, alpha residuals)
+    # dominate per-shard activation memory at config-#4-class edge counts
+    # (each pads 32x under the f32 lane tiling); recomputing them in the
+    # backward trades two [E]-gathers + a segment softmax per step
+    alpha = (jax.checkpoint(attn) if remat else attn)(score_l, sr_ext)
     agg = spmm_multihead(h_ext.reshape(-1, H, D), src, dst, alpha, b,
                          src_perm=src_perm, src_sorted=src_sorted)
     return parse_activation(conv.activation)(
@@ -187,7 +193,7 @@ _DIST_APPLY = {GCNConv: dist_gcn_apply, GINConv: dist_gin_apply, GATConv: dist_g
 
 
 def dist_gcn_apply_ext(conv: GCNConv, params, h_local, ext, src, dst, weight,
-                       src_perm=None, src_sorted=None):
+                       src_perm=None, src_sorted=None, remat: bool = False):
     b = h_local.shape[0]
     h_t_ext = jnp.dot(ext, params["w"], preferred_element_type=jnp.float32)
     agg = spmm_sorted_coo(h_t_ext, src, dst, weight, b,
@@ -196,7 +202,7 @@ def dist_gcn_apply_ext(conv: GCNConv, params, h_local, ext, src, dst, weight,
 
 
 def dist_gin_apply_ext(conv: GINConv, params, h_local, ext, src, dst, weight,
-                       src_perm=None, src_sorted=None):
+                       src_perm=None, src_sorted=None, remat: bool = False):
     del weight
     b = h_local.shape[0]
     agg = spmm_sorted_coo(ext, src, dst, None, b,
@@ -210,7 +216,7 @@ def dist_gin_apply_ext(conv: GINConv, params, h_local, ext, src, dst, weight,
 
 
 def dist_gat_apply_ext(conv: GATConv, params, h_local, ext, src, dst, weight,
-                       src_perm=None, src_sorted=None):
+                       src_perm=None, src_sorted=None, remat: bool = False):
     del weight
     b = h_local.shape[0]
     H, D = conv.heads, conv.head_dim
@@ -218,12 +224,16 @@ def dist_gat_apply_ext(conv: GATConv, params, h_local, ext, src, dst, weight,
     hh_ext = hh_ext.reshape(-1, H, D)
     score_l = jnp.sum(hh_ext[:b] * params["a_l"], axis=-1)  # [B, H]
     score_r = jnp.sum(hh_ext * params["a_r"], axis=-1)  # [B+G*S, H]
-    e_dst = gather_rows_sorted_grad(score_l, dst)
-    e_src = (gather_rows(score_r, src) if src_perm is None
-             else gather_rows_sorted_grad(
-                 score_r, src, perm=src_perm, ids_sorted=src_sorted))
-    e = jax.nn.leaky_relu(e_dst + e_src, conv.negative_slope)
-    alpha = segment_softmax(e, dst, b)
+
+    def attn(score_l, score_r):
+        e_dst = gather_rows_sorted_grad(score_l, dst)
+        e_src = (gather_rows(score_r, src) if src_perm is None
+                 else gather_rows_sorted_grad(
+                     score_r, src, perm=src_perm, ids_sorted=src_sorted))
+        e = jax.nn.leaky_relu(e_dst + e_src, conv.negative_slope)
+        return segment_softmax(e, dst, b)
+
+    alpha = (jax.checkpoint(attn) if remat else attn)(score_l, score_r)
     agg = spmm_multihead(hh_ext, src, dst, alpha, b,
                          src_perm=src_perm, src_sorted=src_sorted)
     return parse_activation(conv.activation)(
@@ -251,6 +261,8 @@ def p2_overlap_forward(
     impl: str = "lax",
     src_perm: jax.Array | None = None,
     src_sorted: jax.Array | None = None,
+    encode_fn=None,
+    remat: bool = False,
 ) -> jax.Array:
     """Distributed bi-level forward with the flagship overlap
     (BASELINE.json:5,11): boundary drugs encode first, their RAW embeddings
@@ -258,11 +270,15 @@ def p2_overlap_forward(
     while the exchange is in flight (no data dependency — XLA's async
     collectives schedule them concurrently). Outer layer 1 consumes the raw
     ext; deeper layers use the boundary-first schedule (dist_*_apply): their
-    exchange overlaps the layer's own full-width transform."""
-    h_bnd = model.encode_inner(params, bnd_batch)  # [B, d]
+    exchange overlaps the layer's own full-width transform.
+
+    ``encode_fn`` (r5): inner-encode override — make_p2_train_step passes a
+    jax.checkpoint-wrapped encode when remat_inner is on."""
+    enc = encode_fn if encode_fn is not None else model.encode_inner
+    h_bnd = enc(params, bnd_batch)  # [B, d]
     sendbuf = jnp.take(h_bnd, send_idx, axis=0, mode="clip")  # [G, S, d]
     recv = _a2a(sendbuf, axis_name, impl)
-    h_int = model.encode_inner(params, int_batch)  # overlapped with the a2a
+    h_int = enc(params, int_batch)  # overlapped with the a2a
     h_local = h_bnd + h_int  # disjoint slots
     g, s, f = recv.shape
     ext = jnp.concatenate([h_local, recv.reshape(g * s, f)], axis=0)
@@ -274,12 +290,13 @@ def p2_overlap_forward(
         if i == 0:
             h_local = _DIST_APPLY_EXT[type(conv)](
                 conv, p, h_local, ext, edge_src, edge_dst, edge_weight,
-                src_perm=src_perm, src_sorted=src_sorted,
+                src_perm=src_perm, src_sorted=src_sorted, remat=remat,
             )
         else:
             h_local = _DIST_APPLY[type(conv)](
                 conv, p, h_local, edge_src, edge_dst, edge_weight, send_idx,
                 axis_name, impl, src_perm=src_perm, src_sorted=src_sorted,
+                remat=remat,
             )
     return h_local
 
@@ -296,6 +313,7 @@ def dist_outer_forward(
     impl: str = "lax",
     src_perm: jax.Array | None = None,
     src_sorted: jax.Array | None = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Distributed equivalent of BiGNN.propagate_outer for one shard."""
     _, inner_dim = model._inner_stack()
@@ -310,6 +328,6 @@ def dist_outer_forward(
         h_local = fn(
             conv, params["outer"][f"layer_{i}"], h_local,
             edge_src, edge_dst, edge_weight, send_idx, axis_name, impl,
-            src_perm=src_perm, src_sorted=src_sorted,
+            src_perm=src_perm, src_sorted=src_sorted, remat=remat,
         )
     return h_local

@@ -55,6 +55,7 @@ def make_p2_train_step(
     overlap: bool = False,
     check_vma: bool | None = None,
     halo_impl: str = "lax",
+    remat: bool = False,
 ) -> Callable:
     """Build the jit'd dp x graph train step.
 
@@ -78,7 +79,20 @@ def make_p2_train_step(
     src_sorted come from the OuterPartitionPlan (device_put_plan returns
     them in call order). ``pos_pairs`` [B_glob, 2] with B_glob divisible by
     the dp axis size.
+
+    ``remat`` (r5): rematerialize the two per-shard activation whales in
+    the backward (jax.checkpoint) — (a) the inner encode's per-atom
+    activations ([node_cap, dim] per conv layer) and (b) the outer GAT's
+    [E, H] attention temps (each pads 32x under the f32 lane tiling) —
+    at the cost of one extra inner forward + attention recompute per
+    step. Values and gradients are unchanged (tests/test_p2_step.py
+    remat case). Measured at 40K drugs / graph=1: the non-remat step
+    wants 19.5 GB (OOM on a 15.75 GB chip); remat fits it. Use it to fit
+    larger per-shard graphs before adding shards.
     """
+    encode = (jax.checkpoint(model.encode_inner)
+              if remat else model.encode_inner)
+
     def shard_loss(params, pairs, labels, mask, inner_batch, esrc, edst, ew,
                    sidx, sperm, ssrt):
         # strip the leading per-shard axis kept by shard_map
@@ -90,13 +104,15 @@ def make_p2_train_step(
                 jax.tree.map(lambda x: x[0], interior),
                 esrc[0], edst[0], ew[0], sidx[0], impl=halo_impl,
                 src_perm=sperm[0], src_sorted=ssrt[0],
+                encode_fn=encode, remat=remat,
             )
         else:
             batch = jax.tree.map(lambda x: x[0], inner_batch)
-            h_local = model.encode_inner(params, batch)  # [B, d]
+            h_local = encode(params, batch)  # [B, d]
             h_local = dist_outer_forward(
                 model, params, h_local, esrc[0], edst[0], ew[0], sidx[0],
                 impl=halo_impl, src_perm=sperm[0], src_sorted=ssrt[0],
+                remat=remat,
             )
         emb = jax.lax.all_gather(h_local, "graph", tiled=True)  # [G*B, d]
         logits = model.score_pairs(params, emb, pairs).astype(jnp.float32)

@@ -41,6 +41,13 @@ def main(argv=None) -> dict:
                         "device scan; DESIGN.md §2.6). Default from config.")
     p.add_argument("--no-device-sample", dest="device_sample",
                    action="store_false")
+    p.add_argument("--remat", action="store_true",
+                   help="p2 mode: rematerialize the inner encode AND the "
+                        "outer attention temps in the backward "
+                        "(jax.checkpoint) — an extra inner forward + "
+                        "attention recompute per step buys the dominant "
+                        "activation memory, for larger per-shard graphs "
+                        "(docs/P2_SCALE_r5.txt)")
     p.add_argument("--exact-eval", action="store_true",
                    help="minibatch mode: after training, ALSO report "
                         "estimator-free final val/test metrics via full "
@@ -136,7 +143,7 @@ def main(argv=None) -> dict:
         elif cfg.mode == "p2":
             params, result = _run_p2(
                 model, ds, cfg, logger, overlap=args.overlap,
-                halo_impl=args.halo_impl,
+                halo_impl=args.halo_impl, remat_inner=args.remat,
                 ckpt=ckpt, checkpoint_every=args.checkpoint_every or 1)
         else:
             data = prepare_device_data(ds, max_buckets=cfg.max_buckets)
@@ -156,7 +163,7 @@ def main(argv=None) -> dict:
 
 def _run_p2(model, ds, cfg, logger, overlap: bool = False,
             halo_impl: str = "lax", ckpt=None,
-            checkpoint_every: int = 1):
+            checkpoint_every: int = 1, remat_inner: bool = False):
     """Distributed (edge-partitioned) training loop — config #5.
 
     First-class trainer semantics matching Trainer.fit / MinibatchTrainer.fit
@@ -220,7 +227,7 @@ def _run_p2(model, ds, cfg, logger, overlap: bool = False,
         opt_state = jax.tree.map(rep, opt_state)
     step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs,
                               cfg.train.neg_ratio, overlap=overlap,
-                              halo_impl=halo_impl)
+                              halo_impl=halo_impl, remat=remat_inner)
     inner_d, esrc, edst, ew, sidx, sperm, ssrt = device_put_plan(mesh, plan, inner)
 
     sampler = EdgeMinibatchSampler(train_edges.astype(np.int32),

@@ -209,7 +209,8 @@ def load_scaled_ds(num_drugs: int):
     return ds
 
 
-def graph1_overhead_leg(ds, steps: int):
+def graph1_overhead_leg(ds, steps: int, remat: bool = False,
+                        skip_plain: bool = False):
     """TPU: p2 step at graph=1 vs the plain full-graph Trainer step.
 
     NOTE: at the full 100K-drug scale the single-chip full-graph step OOMs
@@ -257,7 +258,7 @@ def graph1_overhead_leg(ds, steps: int):
     params = model.init(jax.random.key(cfg.train.seed))
     opt_state = optimizer.init(params)
     step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs,
-                              cfg.train.neg_ratio)
+                              cfg.train.neg_ratio, remat=remat)
     inner_d, esrc, edst, ew, sidx, sperm, ssrt = device_put_plan(mesh, plan, inner)
     sampler = EdgeMinibatchSampler(train.astype(np.int32),
                                    cfg.train.batch_size, cfg.train.seed)
@@ -280,6 +281,8 @@ def graph1_overhead_leg(ds, steps: int):
         ts = timed(lambda i: p2_step(i), None, steps)
     out["p2_graph1_step_ms"] = [round(t * 1e3, 1) for t in ts]
     out["p2_graph1_best_ms"] = round(min(ts) * 1e3, 1)
+    if skip_plain:
+        return out
 
     # -- plain full-graph Trainer ----------------------------------------
     t0 = time.perf_counter()
@@ -314,6 +317,10 @@ def main():
     p.add_argument("--steps", type=int, default=2)
     p.add_argument("--skip-inner", action="store_true")
     p.add_argument("--graph1-overhead", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="graph1-overhead leg: remat the p2 inner encode")
+    p.add_argument("--skip-plain", action="store_true",
+                   help="graph1-overhead leg: only run the p2 side")
     p.add_argument("--num-drugs", type=int, default=0,
                    help="scale the dataset down (graph1-overhead leg: the "
                         "full 100K full-graph step OOMs one chip)")
@@ -323,9 +330,10 @@ def main():
     ds = load_scaled_ds(args.num_drugs) if args.num_drugs else load_ds()
     lines = []
     if args.graph1_overhead:
-        rec = {"leg": "graph1_overhead",
+        rec = {"leg": "graph1_overhead", "remat": args.remat,
                "num_drugs": ds.num_drugs, **graph1_overhead_leg(
-                   ds, args.steps)}
+                   ds, args.steps, remat=args.remat,
+                   skip_plain=args.skip_plain)}
         lines.append(rec)
         print(json.dumps(rec), flush=True)
     elif args.fake_devices:

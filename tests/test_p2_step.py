@@ -156,3 +156,46 @@ def test_p2_step_halo_impl_pallas_matches_lax(overlap):
                     jax.tree.leaves(results["pallas"][0])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_p2_step_remat_inner_matches(overlap):
+    """remat=True (r5, jax.checkpoint over the inner encode and the
+    outer attention temps) changes activation memory only — loss and
+    updated params must equal the non-remat step exactly."""
+    ds = make_synthetic_ddi(num_drugs=40, feat_dim=8, avg_degree=6.0,
+                            min_atoms=4, max_atoms=10, seed=0)
+    model = BiGNN(BiGNNConfig(feat_dim=8, inner_layers=("gin:16",),
+                              outer_layers=("gat:16:2",)))
+    optimizer = optax.adam(1e-3)
+    params = model.init(jax.random.key(0))
+    opt_state = optimizer.init(params)
+    rng = np.random.default_rng(1)
+    pos = rng.integers(0, 40, (16, 2)).astype(np.int32)
+    mask = np.ones(16, np.float32)
+    key = jax.random.key(9)
+
+    train_edges = ds.split_edges("train")
+    plan = build_outer_partition(train_edges[:, 0], train_edges[:, 1],
+                                 ds.num_drugs, 4)
+    inner = build_sharded_inner(ds.molecules, plan, split_boundary=overlap)
+    mesh = make_mesh(dp=2, graph=4, devices=jax.devices()[:8])
+    inner_d, esrc, edst, ew, sidx, sperm, ssrt = device_put_plan(
+        mesh, plan, inner)
+
+    def run(remat):
+        step = make_p2_train_step(model, optimizer, mesh, ds.num_drugs,
+                                  neg_ratio=1, overlap=overlap,
+                                  remat=remat)
+        with mesh:
+            p, _, loss = step(
+                params, opt_state, key, jnp.asarray(pos), jnp.asarray(mask),
+                inner_d, esrc, edst, ew, sidx, sperm, ssrt)
+        return p, float(loss)
+
+    p0, l0 = run(False)
+    p1, l1 = run(True)
+    assert np.isclose(l0, l1, rtol=1e-6), (l0, l1)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)

@@ -105,3 +105,21 @@ def test_run_cli_device_sample(tmp_path):
         "--device-sample", "--run-dir", str(tmp_path / "devs"),
     ])
     assert np.isfinite(res["test_auc"])
+
+
+def test_run_cli_exact_eval(tmp_path):
+    """--exact-eval (r5): minibatch runs additionally report
+    estimator-free full-propagation final metrics (DESIGN.md §3.9)."""
+    res = main([
+        "--config", "config3", "--epochs", "1", "--batch-size", "64",
+        "--exact-eval", "--run-dir", str(tmp_path / "ex"),
+    ])
+    for k in ("exact_val_auc", "exact_test_auc", "exact_test_ap"):
+        assert np.isfinite(res[k]), res
+
+
+def test_config5_large_registry():
+    cfg = get_config("config5-large")
+    assert cfg.mode == "p2" and cfg.graph_shards == 8
+    assert cfg.dataset == "synthetic-large"
+    assert cfg.model.dtype == "bfloat16"
