@@ -84,6 +84,29 @@ def test_int8_guard_widens_for_large_superrows():
     assert "R_N * R_N <= 127" in src
 
 
+def test_build_int16_count_parity():
+    """The widened int16 branch the guard selects for r_node^2 > 127 must
+    actually build and match (not just exist as a dtype choice): exercise
+    build_block_adj(out_dtype=int16) with multiplicities past the int8
+    range, interpret mode."""
+    rng = np.random.default_rng(11)
+    src, dst, estarts, n = _random_block_local_edges(rng, nblk=2)
+    # force one (dst, src) pair's multiplicity beyond int8 range
+    src[1:201] = src[0]
+    dst[1:201] = dst[0]
+    dst[:201] = np.sort(dst[:201])  # keep the dst-sorted contract
+    ref = np.asarray(build_block_adj(
+        jnp.asarray(src), jnp.asarray(dst), None,
+        jnp.asarray(estarts), n, jnp.float32, interpret=True))
+    assert ref.max() > 127, "test must exceed the int8 range"
+    assert ref.max() <= 32767
+    out = np.asarray(build_block_adj(
+        jnp.asarray(src), jnp.asarray(dst), None,
+        jnp.asarray(estarts), n, jnp.int16, interpret=True))
+    assert out.dtype == np.int16
+    np.testing.assert_array_equal(out.astype(np.float32), ref)
+
+
 @pytest.mark.parametrize("inner", [("gin:16", "gin:16"), ("gcn:16", "gin:16")])
 def test_dense_inner_matches_streaming(inner):
     ds = make_synthetic_ddi(num_drugs=40, feat_dim=8, avg_degree=6.0,

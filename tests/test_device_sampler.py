@@ -357,3 +357,17 @@ def test_reshuffle_epochs_knob(setup):
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p0)))
     assert diff, "reshuffle_epochs=True must change the post-epoch-0 draws"
+
+
+def test_node_cap_calibration_covers_real_draws(setup):
+    """The device-calibrated node cap (r5: simulation mirrors the real
+    window-draw semantics) must cover real draws — persistent
+    ncap_dropped would be a standing estimator bias (ADVICE r4). The
+    draws are (seed, epoch, step)-deterministic, so this gate is exact,
+    not flaky."""
+    _, _, dev, consts, sample = setup
+    total = 0
+    for step in range(32):
+        _, stats = sample(consts, dev.key_at(0, step))
+        total += int(np.asarray(stats["trunc_ncap_dropped"]))
+    assert total == 0, total
