@@ -92,3 +92,33 @@ def test_plan_buckets_monotone():
     bounds = plan_buckets([3, 4, 5, 20, 21, 22, 100], max_buckets=3)
     assert bounds == sorted(bounds)
     assert bounds[-1] == 100
+
+
+def test_padded_batch_graph_slots_and_override():
+    """r5 (p2 sharded inner): graph_slots maps positions to readout slot
+    ids and num_graphs_override widens the readout — graph_ids carry the
+    slots, graph_n_nodes scatter to slot positions, padding rows carry
+    the OVERRIDDEN id, and misuse raises."""
+    from bignn_tpu.sparse.formats import build_padded_batch
+
+    rng = np.random.default_rng(0)
+    gs = [_rand_graph(rng, n) for n in (3, 5, 2)]
+    slots = [1, 4, 6]
+    b = build_padded_batch(gs, node_cap=16, edge_cap=128,
+                           graph_slots=slots, num_graphs_override=8)
+    assert b.num_graphs == 8
+    ids = np.asarray(b.graph_ids)
+    mask = np.asarray(b.node_mask) > 0
+    assert set(np.unique(ids[mask])) == set(slots)
+    assert (ids[~mask] == 8).all()
+    nn = np.asarray(b.graph_n_nodes)
+    assert nn.shape == (8,)
+    for s, g in zip(slots, gs):
+        assert nn[s] == g.num_nodes
+    assert nn.sum() == sum(g.num_nodes for g in gs)
+    with pytest.raises(ValueError, match="increasing"):
+        build_padded_batch(gs, node_cap=16, edge_cap=128,
+                           graph_slots=[4, 1, 6])
+    with pytest.raises(ValueError, match="override"):
+        build_padded_batch(gs, node_cap=16, edge_cap=128,
+                           graph_slots=[1, 4, 6], num_graphs_override=2)
