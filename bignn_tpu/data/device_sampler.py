@@ -140,7 +140,10 @@ class DeviceSampler:
         # r5: canonical-pair dedup runs on TWO sort keys (lo, hi) instead of
         # the r4 composite lo*D+hi int32 key, so the drug budget carries no
         # D <= 46340 ceiling anymore (tests/test_device_sampler.py covers a
-        # 64K budget on CPU).
+        # 64K budget on CPU). Validated bit-identical to the r4
+        # implementation: same-seed draws from both versions produced
+        # byte-equal CompactBatches over the test fixture (r5 session
+        # cross-check against the committed r4 module).
         # Window sampling draws a contiguous window spanning at most two
         # aligned 16-rows, so each hop's fanout must be <= 16; validate at
         # construction (a trace-time error would surface only on the first

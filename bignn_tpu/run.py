@@ -141,6 +141,11 @@ def main(argv=None) -> dict:
                             **{k: v for k, v in result.items()
                                if k.startswith("exact_")}})
         elif cfg.mode == "p2":
+            if args.exact_eval:
+                logger.log({"event": "note", "msg":
+                            "p2/full modes evaluate by full propagation "
+                            "already — finals are exact; --exact-eval is "
+                            "a no-op outside minibatch mode"})
             params, result = _run_p2(
                 model, ds, cfg, logger, overlap=args.overlap,
                 halo_impl=args.halo_impl, remat_inner=args.remat,
